@@ -1,0 +1,20 @@
+"""dqm_spark — a PySpark-native code quality-filter engine.
+
+A from-scratch re-expression of the reference's (wesketchum/dqm, DUNE DAQ
+data-quality monitoring, C++17) per-record validate → compute-metrics →
+publish-or-alert dataflow as a source-code quality-filter pipeline:
+
+    read source_files(repo, path, commit, lang, content)
+      → native-SQL heuristic integrity rules     (dqm Pipeline.hpp analog)
+      → Arrow/pandas-UDF scorers (langid, ppl)   (dqm Python.hpp analog)
+      → keep/drop decision assembly              (dqm DFModule.hpp analog)
+      → deterministic PII/toxic regex scrub + sha256
+      → decisions + per-partition lineage + metric aggregates + alerts
+                                                 (dqm ChannelStream/Issues analog)
+
+Everything is DataFrame-first: native pyspark.sql.functions for every rule
+that SQL can express, vectorized Arrow pandas UDFs for the two model
+scorers, zero RDDs, zero custom Catalyst rules.
+"""
+
+__version__ = "0.1.0"

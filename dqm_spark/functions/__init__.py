@@ -1,0 +1,1 @@
+"""Native Column-expression building blocks (JVM-side, codegen-friendly)."""

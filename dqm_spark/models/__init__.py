@@ -1,0 +1,9 @@
+"""Deterministic, dependency-free scoring models (langid, perplexity).
+
+These are pure numpy — importable with no Spark on the path — so the
+single-process reference implementation (tests/reference_impl.py) and the
+distributed pipeline score with literally the same code. In the reference
+this role is played by the numpy kernels under python/dqm/ called from C++
+through boost::python (/root/reference/include/dqm/modules/Python.hpp:68-121);
+here the host is a Spark Arrow pandas UDF instead.
+"""

@@ -1,0 +1,77 @@
+"""Vectorized hashed character-trigram extraction (pure numpy).
+
+This is the feature front-end shared by the langid and perplexity models.
+It is written batch-first: one call handles a whole Arrow batch of strings
+with no per-row Python loop in the hot path (the marshalling philosophy of
+the reference's ndarray bridge, /root/reference/include/dqm/PythonUtils.hpp:78-98,
+re-expressed for Arrow batches).
+
+Hash space is 2**15 buckets; the rolling hash is a fixed-coefficient
+polynomial over UTF-8 bytes — deterministic across processes (no PYTHONHASHSEED
+dependence), cheap, and identical wherever this module is imported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HASH_BITS = 15
+HASH_BUCKETS = 1 << HASH_BITS
+_SEP = b"\x00\x00"  # trigrams crossing row boundaries contain \x00 and are dropped
+_C0, _C1 = np.int64(131071), np.int64(131)
+
+
+def _encode(texts, prefix_chars: int) -> list[bytes]:
+    out = []
+    for t in texts:
+        if t is None:
+            t = ""
+        out.append(t[:prefix_chars].lower().encode("utf-8", "replace"))
+    return out
+
+
+def trigram_hashes(texts, prefix_chars: int = 1 << 30):
+    """Hash all char trigrams of a batch of strings.
+
+    Returns (hashes, row_starts, row_counts):
+      hashes     int64[T]   bucket ids of every trigram, rows concatenated
+      row_starts int64[n]   offset of each row's first trigram in `hashes`
+      row_counts int64[n]   trigrams per row (0 for rows shorter than 3 bytes)
+    """
+    enc = _encode(texts, prefix_chars)
+    n = len(enc)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    buf = np.frombuffer(_SEP.join(enc) + _SEP, dtype=np.uint8).astype(np.int64)
+    if buf.size < 3:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), np.zeros(n, dtype=np.int64)
+    b0, b1, b2 = buf[:-2], buf[1:-1], buf[2:]
+    valid = (b0 != 0) & (b1 != 0) & (b2 != 0)
+    h_all = (b0 * _C0 + b1 * _C1 + b2) & (HASH_BUCKETS - 1)
+
+    # Per-row segment bookkeeping: row i occupies bytes
+    # [starts[i], starts[i] + len_i) in buf; its trigram window positions are
+    # the `valid` ones among [starts[i], starts[i] + len_i - 2).
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1] + 2, out=starts[1:])
+    row_counts = np.maximum(lens - 2, 0)
+    keep = np.flatnonzero(valid)
+    hashes = h_all[keep]
+    # `valid` already excludes separator-crossing windows; rows with embedded
+    # \x00 bytes lose those windows too, so recount per row from `keep`.
+    row_of = np.searchsorted(starts, keep, side="right") - 1
+    row_counts = np.bincount(row_of, minlength=n).astype(np.int64)
+    row_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(row_counts[:-1], out=row_starts[1:])
+    return hashes, row_starts, row_counts
+
+
+def count_vector(text: str) -> np.ndarray:
+    """Dense bucket-count vector for one (training) document."""
+    h, _, _ = trigram_hashes([text])
+    return np.bincount(h, minlength=HASH_BUCKETS).astype(np.float64)

@@ -1,0 +1,71 @@
+"""Hashed char-trigram perplexity scorer (Kneser-Ney-flavored smoothing).
+
+Fills the reference's "expensive vectorized numeric scorer" slot — the FFT
+module (/root/reference/src/algs/Fourier.cpp:38-79): a per-record numeric
+score too heavy for plain SQL, computed in numpy over Arrow batches, with
+the skip-if-insufficient-input semantics of Fourier (returns null below
+MIN_CHARS_FOR_MODELS instead of erroring; Fourier.cpp:42-46).
+
+Model: trigram relative frequencies over the code corpus with absolute
+discounting backed off to a uniform base — an interpolated KN-style
+estimate collapsed to one hashed table:
+
+    P(t) = max(c(t) - D, 0)/N  +  (D * |seen| / N) * 1/HASH_BUCKETS
+
+Perplexity = exp(mean over trigrams of -ln P). Scored text is truncated to
+MODEL_PREFIX_CHARS (like Fourier's npoints cap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import MIN_CHARS_FOR_MODELS, MODEL_PREFIX_CHARS
+from .corpus import LINE_POOLS, corpus_text
+from .ngram import HASH_BUCKETS, trigram_hashes
+
+_DISCOUNT = 0.75
+# train on all code + doc classes (not the prose class — prose should score
+# high-ish but still finite; gibberish should score near the ceiling)
+_TRAIN_CLASSES = tuple(c for c in LINE_POOLS if c != "text")
+
+_LOGP: np.ndarray | None = None
+
+
+def train_log_probs() -> np.ndarray:
+    counts = np.zeros(HASH_BUCKETS, dtype=np.float64)
+    h, _, _ = trigram_hashes(["\n".join(corpus_text(c) for c in _TRAIN_CLASSES)])
+    np.add.at(counts, h, 1.0)
+    n_total = counts.sum()
+    n_seen = float((counts > 0).sum())
+    base = (_DISCOUNT * n_seen / n_total) / HASH_BUCKETS
+    p = np.maximum(counts - _DISCOUNT, 0.0) / n_total + base
+    return np.log(p).astype(np.float32)
+
+
+def get_log_probs() -> np.ndarray:
+    global _LOGP
+    if _LOGP is None:
+        _LOGP = train_log_probs()
+    return _LOGP
+
+
+def perplexity_batch(texts, log_probs: np.ndarray | None = None) -> np.ndarray:
+    """float64 perplexity per row; nan where len(text) < MIN_CHARS_FOR_MODELS."""
+    lp = get_log_probs() if log_probs is None else log_probs
+    n = len(texts)
+    out = np.full(n, np.nan, dtype=np.float64)
+    hashes, row_starts, row_counts = trigram_hashes(texts, MODEL_PREFIX_CHARS)
+    if hashes.size == 0:
+        return out
+    nonempty = np.flatnonzero(row_counts > 0)
+    if nonempty.size == 0:
+        return out
+    seg = np.add.reduceat(lp[hashes].astype(np.float64), row_starts[nonempty])
+    ppl = np.exp(-seg / row_counts[nonempty])
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in texts), dtype=np.int64, count=n
+    )
+    mask = lens[nonempty] >= MIN_CHARS_FOR_MODELS
+    out[nonempty[mask]] = ppl[mask]
+    return out

@@ -1,0 +1,2 @@
+"""Pipeline operators: rules, scorers, scrub, decide, metrics, alerts,
+lineage, dedup, similarity, text stats, multimodal plumbing."""

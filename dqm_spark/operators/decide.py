@@ -1,0 +1,22 @@
+"""Keep/drop decision assembly (dqm DFModule analog).
+
+`fired_rules` carries every fired rule label (warn rules included);
+`keep` is true iff no DROP rule fired — dqm's "warnings don't abort the
+batch" split (/root/reference/include/dqm/Pipeline.hpp:28-55).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config as C
+from .rules import fired_rules_col
+
+def with_decision(df: DataFrame, content: str = "content") -> DataFrame:
+    drop_set = F.array(*[F.lit(r) for r in C.DROP_RULES])
+    df = df.withColumn("fired_rules", fired_rules_col(content))
+    return df.withColumn(
+        "keep",
+        F.size(F.array_intersect(F.col("fired_rules"), drop_set)) == 0,
+    )

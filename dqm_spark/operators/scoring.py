@@ -1,0 +1,68 @@
+"""Model scorers: language-ID + perplexity in ONE Arrow pandas UDF.
+
+The reference crosses C++ → Python per tick through boost::python, passing
+dense ndarrays (/root/reference/include/dqm/modules/Python.hpp:68-121,
+/root/reference/include/dqm/PythonUtils.hpp:78-98). Here the crossing is
+per Arrow batch: a scalar-iterator pandas UDF over `content` only (the
+other columns never leave the JVM), returning a struct of
+(langid_pred, langid_conf, perplexity) — one crossing for both models.
+
+Model lifecycle = dqm's fill-once ChannelMapFiller pattern
+(/root/reference/include/dqm/ChannelMapFiller.hpp:38-75): the ~1.3 MB
+weight matrices are built once on the driver, broadcast, and dereferenced
+once per executor by the iterator UDF before the batch loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..models.langid import get_weights, predict_batch
+from ..models.perplexity import get_log_probs, perplexity_batch
+
+SCORE_SCHEMA = (
+    "struct<langid_pred:string, langid_conf:double, perplexity:double>"
+)
+
+
+def _score_frame(texts: pd.Series, w: np.ndarray, lp: np.ndarray) -> pd.DataFrame:
+    vals = texts.tolist()
+    pred, conf = predict_batch(vals, w)
+    ppl = perplexity_batch(vals, lp)
+    return pd.DataFrame({
+        "langid_pred": pd.array(pred, dtype="string"),
+        # Float64 (masked) so NaN → SQL NULL across Arrow, never NaN
+        "langid_conf": pd.array(conf, dtype="Float64"),
+        "perplexity": pd.array(ppl, dtype="Float64"),
+    })
+
+
+def make_score_udf(spark: SparkSession):
+    """Pandas UDF closed over broadcast model weights."""
+    sc = spark.sparkContext
+    bc = sc.broadcast((get_weights(), get_log_probs()))
+
+    @pandas_udf(SCORE_SCHEMA)
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        w, lp = bc.value  # once per task; broadcast block cached per executor
+        for texts in batches:
+            yield _score_frame(texts, w, lp)
+
+    return score
+
+
+def with_scores(df: DataFrame, spark: SparkSession,
+                content: str = "content") -> DataFrame:
+    score = make_score_udf(spark)
+    s = score(F.col(content))
+    return df.withColumns({
+        "langid_pred": s["langid_pred"],
+        "langid_conf": s["langid_conf"],
+        "perplexity": s["perplexity"],
+    })

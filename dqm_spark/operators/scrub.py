@@ -1,0 +1,35 @@
+"""Deterministic PII/toxicity scrub — JVM-side regexp_replace chain.
+
+All scrubbing lives in this one chain, strictly in scrub_spec.SCRUB_RULES
+order (SURVEY.md §7.4a: never mix dialects mid-chain). Kept rows get
+`scrubbed_content` and `content_sha256 = sha2(scrubbed_content, 256)`;
+dropped rows get null for both. Byte-exactness vs the pure-Python reference
+(scrub_spec.scrub_text_py) is asserted per row in tests/test_scrub.py —
+the north_star sha256 invariant.
+
+Native regexp_replace keeps the hot path inside whole-stage codegen; the
+patterns are written in the Java/Python-common regex subset (scrub_spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..scrub_spec import SCRUB_RULES
+
+
+def scrubbed_col(content: Column) -> Column:
+    out = content
+    for rule in SCRUB_RULES:
+        out = F.regexp_replace(out, rule.java_pattern, rule.java_repl)
+    return out
+
+
+def with_scrub(df: DataFrame, content: str = "content",
+               keep: str = "keep") -> DataFrame:
+    scrubbed = F.when(F.col(keep), scrubbed_col(F.col(content)))
+    return df.withColumns({
+        "scrubbed_content": scrubbed,
+        "content_sha256": F.sha2(scrubbed, 256),
+    })

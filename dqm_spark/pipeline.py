@@ -1,0 +1,39 @@
+"""End-to-end quality-filter pipeline composition.
+
+read → features (1 codegen projection) → scores (1 Arrow crossing) →
+fired_rules + keep → scrub + sha256 → decisions.
+
+Shuffle count for the decision path: ZERO. Every stage is a row-local
+projection, so the plan is scan → project → (arrow eval) → project →
+write, embarrassingly parallel across any number of executors. The only
+shuffles in the whole job live in the (tiny, partially-aggregated) metrics
+stage — see operators/metrics.py. This is the property that makes the
+100 TB scale-out linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.decide import with_decision
+from .operators.rules import with_features
+from .operators.scoring import with_scores
+from .operators.scrub import with_scrub
+from .schema import DECISION_COLS
+
+
+def decisions(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """source_files DataFrame → decisions DataFrame (FIXTURES.md §2)."""
+    df = with_features(df)
+    df = with_scores(df, spark)
+    df = with_decision(df)
+    df = with_scrub(df)
+    return df.select(*DECISION_COLS)
+
+
+def decisions_with_diagnostics(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Same, but keeps the feature columns (for metrics/debugging)."""
+    df = with_features(df)
+    df = with_scores(df, spark)
+    df = with_decision(df)
+    return with_scrub(df)

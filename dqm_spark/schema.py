@@ -1,0 +1,64 @@
+"""Explicit StructTypes for every table (never schema inference —
+the reference's schema system is fixed codegen, SURVEY.md §1.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _f(name, dtype, nullable=True):
+    return StructField(name, dtype, nullable)
+
+
+SOURCE_FILES = StructType([
+    _f("repo", StringType()), _f("path", StringType()),
+    _f("commit", StringType()), _f("lang", StringType()),
+    _f("content", StringType()),
+])
+
+DECISIONS = StructType([
+    _f("repo", StringType()), _f("path", StringType()),
+    _f("commit", StringType()), _f("lang", StringType()),
+    _f("keep", BooleanType()),
+    _f("fired_rules", ArrayType(StringType(), False)),
+    _f("langid_pred", StringType()), _f("langid_conf", DoubleType()),
+    _f("perplexity", DoubleType()),
+    _f("scrubbed_content", StringType()),
+    _f("content_sha256", StringType()),
+])
+
+DECISION_COLS = [f.name for f in DECISIONS.fields]
+
+METRICS = StructType([
+    _f("run_id", StringType()), _f("lang", StringType()),
+    _f("rule", StringType()),
+    _f("rows_seen", LongType()), _f("rows_fired", LongType()),
+    _f("fire_rate", DoubleType()),
+    _f("ppl_p50", DoubleType()), _f("ppl_p90", DoubleType()),
+    _f("ppl_p99", DoubleType()),
+    _f("langid_hist", MapType(StringType(), LongType())),
+])
+
+ALERTS = StructType([
+    _f("run_id", StringType()), _f("rule", StringType()),
+    _f("lang", StringType()),
+    _f("fire_rate", DoubleType()), _f("threshold", DoubleType()),
+    _f("severity", StringType()), _f("message", StringType()),
+])
+
+LINEAGE = StructType([
+    _f("run_id", StringType()), _f("partition_id", IntegerType()),
+    _f("input_rows", LongType()), _f("kept", LongType()),
+    _f("dropped", LongType()), _f("wall_ms", LongType()),
+    _f("attempt", IntegerType()),
+])

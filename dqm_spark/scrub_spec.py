@@ -1,0 +1,92 @@
+"""Single source of truth for the PII/toxicity scrub chain.
+
+The north_star invariant is per-row byte-exact `sha256(scrubbed_content)`
+equality between the distributed Spark pipeline and the single-process
+reference implementation. The reference scrubs with Python `re`; the Spark
+pipeline scrubs JVM-side with `F.regexp_replace` (whole-stage codegen, no
+Python crossing). The two regex dialects diverge in places, so every rule
+here carries BOTH forms, and every pattern is written in the common subset
+(char classes, bounded quantifiers, `\\b`, non-capturing groups, `(?i)`)
+that behaves identically in java.util.regex and Python `re`.
+
+Order is pinned and load-bearing (SURVEY.md §7.4a): scrubbers run strictly
+in list order, mirroring the reference's fixed pipeline-chain order
+(/root/reference/include/dqm/Pipeline.hpp:98-143).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ScrubRule:
+    name: str
+    java_pattern: str   # for F.regexp_replace (java.util.regex)
+    py_pattern: str     # for re.sub
+    java_repl: str      # $1-style group refs
+    py_repl: str        # \1-style group refs
+
+
+# Toxic vocabulary is a tiny fixed demo list (real deployments broadcast a
+# large lexicon the same way; see operators/scrub.py).
+_TOXIC_WORDS = ("frackingjerk", "scumpuppet", "dirtweasel")
+
+SCRUB_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule(
+        name="email",
+        java_pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        py_pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        java_repl="<EMAIL>",
+        py_repl="<EMAIL>",
+    ),
+    ScrubRule(
+        name="ipv4",
+        java_pattern=r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        py_pattern=r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        java_repl="<IP>",
+        py_repl="<IP>",
+    ),
+    ScrubRule(
+        name="aws_key",
+        java_pattern=r"\bAKIA[0-9A-Z]{16}\b",
+        py_pattern=r"\bAKIA[0-9A-Z]{16}\b",
+        java_repl="<AWS_KEY>",
+        py_repl="<AWS_KEY>",
+    ),
+    ScrubRule(
+        # api_key = "...."  /  secret: '....'  — keeps the key name, drops value
+        name="secret_assignment",
+        java_pattern=(
+            r"(?i)\b(api[_-]?key|secret[_-]?key|secret|token|passwd|password)"
+            r"(\s*[:=]\s*)['\"][^'\"]{8,}['\"]"
+        ),
+        py_pattern=(
+            r"(?i)\b(api[_-]?key|secret[_-]?key|secret|token|passwd|password)"
+            r"(\s*[:=]\s*)['\"][^'\"]{8,}['\"]"
+        ),
+        java_repl="$1$2\"<SECRET>\"",
+        py_repl='\\1\\2"<SECRET>"',
+    ),
+    ScrubRule(
+        name="toxic",
+        java_pattern=r"(?i)\b(?:" + "|".join(_TOXIC_WORDS) + r")\b",
+        py_pattern=r"(?i)\b(?:" + "|".join(_TOXIC_WORDS) + r")\b",
+        java_repl="<TOXIC>",
+        py_repl="<TOXIC>",
+    ),
+)
+
+_COMPILED = [(re.compile(r.py_pattern), r.py_repl) for r in SCRUB_RULES]
+
+
+def scrub_text_py(text: str) -> str:
+    """Pure-Python scrub — the reference-label implementation.
+
+    tests assert sha256(scrub_text_py(x)) == sha256(spark regexp_replace
+    chain(x)) for every kept row.
+    """
+    for pat, repl in _COMPILED:
+        text = pat.sub(repl, text)
+    return text

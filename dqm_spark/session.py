@@ -1,0 +1,38 @@
+"""SparkSession factory with the configuration the pipeline assumes.
+
+Sized for the sandbox (local[N], 32 cores) but every knob is the one you'd
+set on a 1000-executor cluster: AQE on (runtime re-plan + skew-join
+splitting), Arrow on with a bounded batch size (content rows are KBs, so
+10k-row default Arrow batches would be ~20-40 MB — we cap lower), and
+shuffle partitions sized to cores (at cluster scale: 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dqm-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ~2k rows/Arrow batch: content averages ~1 KB, keeps Python worker
+        # batches at a few MB (dqm marshals (n_frames x 256) blocks similarly)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return b.getOrCreate()

@@ -1,0 +1,60 @@
+"""Model determinism + strata separation (the golden-oracle layer of
+SURVEY.md §5 — fixed seeds, known-answer patterns)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dqm_spark import config as C
+from dqm_spark.models.langid import CLASSES, predict_batch, train_weights
+from dqm_spark.models.ngram import trigram_hashes
+from dqm_spark.models.perplexity import perplexity_batch, train_log_probs
+from dqm_spark.synth import gen_pandas
+
+
+def test_trigram_hashes_segments():
+    h, starts, counts = trigram_hashes(["abcd", "", "xy", None, "hello"])
+    assert counts.tolist() == [2, 0, 0, 0, 3]
+    assert starts.tolist() == [0, 2, 2, 2, 2]
+    assert h.size == 5
+
+
+def test_trigram_null_bytes_dropped():
+    h1, _, c1 = trigram_hashes(["ab\x00cd"])
+    # windows containing \x00 are dropped: only none survive (len5 -> 3 wins,
+    # all contain the null byte)
+    assert c1.tolist() == [0]
+
+
+def test_model_determinism():
+    w1, w2 = train_weights(), train_weights()
+    assert np.array_equal(w1, w2)
+    p1, p2 = train_log_probs(), train_log_probs()
+    assert np.array_equal(p1, p2)
+
+
+def test_langid_on_corpus_classes():
+    from dqm_spark.models.corpus import corpus_text
+    texts = [corpus_text(c) for c in CLASSES]
+    pred, conf = predict_batch(texts)
+    assert list(pred) == list(CLASSES)
+    assert (conf > C.LANGID_CONF_MIN).all()
+
+
+def test_short_text_skipped():
+    pred, conf = predict_batch(["x" * (C.MIN_CHARS_FOR_MODELS - 1)])
+    assert pred[0] is None and np.isnan(conf[0])
+    ppl = perplexity_batch(["x" * (C.MIN_CHARS_FOR_MODELS - 1)])
+    assert np.isnan(ppl[0])
+
+
+def test_strata_separation():
+    df = gen_pandas(2000, with_stratum=True)
+    ppl = perplexity_batch(df.content.tolist())
+    df = df.assign(ppl=ppl)
+    clean = df[df.stratum == "clean"].ppl
+    low = df[df.stratum == "low_entropy"].ppl
+    gib = df[df.stratum == "gibberish"].ppl
+    assert clean.between(C.PPL_LO, C.PPL_HI).all()
+    assert (low < C.PPL_LO).all()
+    assert (gib > C.PPL_HI).all()

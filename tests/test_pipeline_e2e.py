@@ -1,0 +1,81 @@
+"""End-to-end: distributed pipeline vs single-process reference oracle.
+
+The headline acceptance test (SURVEY.md §5 row 5): on the deterministic
+synthetic table, the Spark pipeline must reproduce the reference labels at
+F1 = 1.0, identical fired_rules, identical scrub bytes (sha256 per row),
+and bit-identical model scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dqm_spark.pipeline import decisions
+from dqm_spark.synth import gen_pandas, gen_spark
+
+from .reference_impl import run_reference
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    pdf = gen_pandas(N_ROWS)
+    golden = run_reference(pdf).sort_values("path").reset_index(drop=True)
+    got = (
+        decisions(spark.createDataFrame(pdf), spark)
+        .toPandas().sort_values("path").reset_index(drop=True)
+    )
+    return golden, got
+
+
+def test_row_count(frames):
+    golden, got = frames
+    assert len(got) == len(golden) == N_ROWS
+
+
+def test_keep_f1_is_one(frames):
+    golden, got = frames
+    assert got["keep"].tolist() == golden["keep"].tolist()
+    tp = (got["keep"] & golden["keep"]).sum()
+    fp = (got["keep"] & ~golden["keep"]).sum()
+    fn = (~got["keep"] & golden["keep"]).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 == 1.0
+
+
+def test_fired_rules_exact(frames):
+    golden, got = frames
+    for g, s in zip(golden["fired_rules"], got["fired_rules"]):
+        assert list(s) == list(g)
+
+
+def test_scrub_sha256_exact(frames):
+    golden, got = frames
+    assert got["content_sha256"].tolist() == golden["content_sha256"].tolist()
+    assert got["scrubbed_content"].tolist() == golden["scrubbed_content"].tolist()
+
+
+def test_scores_bit_identical(frames):
+    golden, got = frames
+    for col in ("langid_conf", "perplexity"):
+        a = got[col].to_numpy(dtype=float)
+        b = golden[col].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+    assert got["langid_pred"].where(pd.notna(got["langid_pred"]), None).tolist() \
+        == golden["langid_pred"].tolist()
+
+
+def test_both_decision_classes_present(frames):
+    golden, _ = frames
+    assert 0 < golden["keep"].sum() < N_ROWS
+
+
+def test_gen_spark_matches_gen_pandas(spark):
+    pdf = gen_pandas(300)
+    sdf = gen_spark(spark, 300, partitions=4).toPandas()
+    sdf = sdf.sort_values("path").reset_index(drop=True)
+    pdf = pdf.sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sdf, pdf)
