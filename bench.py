@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "qf_files_per_sec": ..., "cpus": ...}
+
+Measures (a) the headline quality-filter pipeline end-to-end (read parquet
+→ rules → Arrow scorers → decide → scrub → write parquet) as files/sec,
+and (b) a representative query suite over $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The synthetic source_files input is generated once per (sf, n_rows) into a
+/tmp cache and reused, so the benchmark times the PIPELINE, not the
+generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# files in the QF headline table: 600k/sf-unit mirrors lineitem's scale
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+QF_ROWS = int(os.environ.get("SPARK_GRAFT_QF_ROWS", str(int(600_000 * _SF))))
+
+BENCH_QUERIES = [
+    "doc_rule_flags", "doc_scrub_sha", "doc_token_stats",
+    "doc_quality_scores", "doc_minhash_dedup", "doc_simhash_dedup",
+    "ann_bruteforce", "ann_lsh",
+    "events_stats_by_type", "events_value_hist",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+]
+
+
+def _qf_input(spark) -> str:
+    """Materialize (once) the deterministic synthetic source_files table."""
+    path = f"/tmp/dqm_bench_cache/source_files_n{QF_ROWS}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from dqm_spark.synth import gen_spark
+        gen_spark(spark, QF_ROWS, partitions=max(CPUS * 2, 8)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from dqm_spark.pipeline import decisions
+    from dqm_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("dqm-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    inp = _qf_input(spark)
+    # warm the JVM/Python-worker pools outside the timed section
+    spark.read.parquet(inp).limit(2048).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    src = spark.read.parquet(inp)
+    out_path = f"/tmp/dqm_bench_out/decisions_n{QF_ROWS}"
+    decisions(src, spark).write.mode("overwrite").parquet(out_path)
+    qf_sec = time.monotonic() - t0
+    timings["qf_pipeline"] = round(qf_sec, 4)
+
+    qmap = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qmap[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "qf_pipeline+query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "cpus": CPUS,
+        "qf_rows": QF_ROWS,
+        "qf_sec": round(qf_sec, 4),
+        "qf_files_per_sec": round(QF_ROWS / qf_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

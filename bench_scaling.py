@@ -1,0 +1,51 @@
+"""Two-parallelism-level scaling evidence (north_rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors; in this sandbox local[8] vs
+local[32] stands in for N vs 4N — see BASELINE.md).
+
+Runs bench.py in fresh subprocesses (fresh JVM each) at both levels and
+writes BENCH_SCALING.json with throughputs + efficiency
+  eff = (files_per_sec_32 / files_per_sec_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               PYTHONPATH=HERE + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800, check=True)
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    eff = (r_hi["qf_files_per_sec"] / r_lo["qf_files_per_sec"]) / (hi / lo)
+    result = {
+        "n_cores": lo, "n4_cores": hi,
+        "files_per_sec_n": r_lo["qf_files_per_sec"],
+        "files_per_sec_4n": r_hi["qf_files_per_sec"],
+        "qf_sec_n": r_lo["qf_sec"], "qf_sec_4n": r_hi["qf_sec"],
+        "qf_rows": r_lo["qf_rows"],
+        "scaling_efficiency": round(eff, 4),
+        "suite_sec_n": r_lo["value"], "suite_sec_4n": r_hi["value"],
+    }
+    with open(os.path.join(HERE, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

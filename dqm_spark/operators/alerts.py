@@ -1,0 +1,41 @@
+"""Threshold alerts over rule fire-rates (ERS issue analog,
+/root/reference/include/dqm/Issues.hpp:19-59).
+
+The threshold table is a tiny dimension — joined with an explicit
+F.broadcast, the pipeline's one relational join (SURVEY.md §2.5: the
+reference's only join-like op is the broadcast ChannelMap probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def threshold_df(spark) -> DataFrame:
+    rows = [(r, float(C.ALERT_FIRE_RATES.get(r, C.ALERT_FIRE_RATE_DEFAULT)))
+            for r in C.ALL_RULES]
+    return spark.createDataFrame(rows, "rule string, threshold double")
+
+
+def alerts(metrics_df: DataFrame, spark) -> DataFrame:
+    """metrics → alerts(run_id, rule, lang, fire_rate, threshold,
+    severity, message) for every (lang, rule) whose fire-rate breaches."""
+    thr = F.broadcast(threshold_df(spark))
+    return (
+        metrics_df.join(thr, "rule")
+        .filter(F.col("fire_rate") > F.col("threshold"))
+        .select(
+            "run_id", "rule", "lang", "fire_rate", "threshold",
+            F.when(F.col("fire_rate") > C.ALERT_SEVERITY_ERROR_RATE,
+                   F.lit("error")).otherwise(F.lit("warning"))
+            .alias("severity"),
+            F.format_string(
+                "rule %s fired at %.4f (threshold %.4f) for lang=%s",
+                F.col("rule"), F.col("fire_rate"), F.col("threshold"),
+                F.col("lang"),
+            ).alias("message"),
+        )
+    )

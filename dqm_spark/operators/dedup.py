@@ -1,0 +1,211 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, all shuffle-frugal and skew-aware:
+
+* exact         — hash groupBy on a content digest (md5/xxhash64); one
+                  shuffle on a uniformly-distributed key.
+* minhash LSH   — char-shingle → minhash signatures (vectorized numpy in an
+                  Arrow UDF) → banding → bucket-min propagation. Duplicate
+                  semantics: a row is a near-duplicate iff ANY of its band
+                  buckets contains a row with a smaller id (the standard
+                  web-corpus LSH dedup). Linear: candidate PAIRS are never
+                  enumerated, so a degenerate bucket (N identical docs)
+                  costs O(N), not O(N²) — the skew story.
+* simhash       — 64-bit token-feature simhash; near-dup iff some 16-bit
+                  chunk matches (banding = 4 chunks), same bucket-min
+                  propagation.
+* n-gram jaccard— exact verification on candidate pairs via native
+                  array_intersect/array_union on distinct-shingle arrays.
+
+The minhash/simhash signatures are deterministic (fixed odd multipliers,
+splitmix-style finalizer) — no RNG, no PYTHONHASHSEED dependence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..models.ngram import trigram_hashes
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """One row per input id: (id, canonical_id, is_duplicate).
+    canonical = min id among byte-identical contents."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col(content)))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+
+
+def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per identical content (groupBy, 1 shuffle)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col(content))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+_MH_PERMS = 64          # signature length
+_MH_BANDS = 8           # 8 bands x 8 rows
+_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mh_params(n: int) -> tuple[np.ndarray, np.ndarray]:
+    # deterministic odd multipliers / offsets (splitmix64 stream)
+    ks = np.arange(1, n + 1, dtype=np.uint64) * _PRIME
+    a = (ks ^ (ks >> np.uint64(31))) | np.uint64(1)
+    b = (ks * np.uint64(0xBF58476D1CE4E5B9)) ^ (ks >> np.uint64(27))
+    return a, b
+
+
+def minhash_signatures(texts, n_perm: int = _MH_PERMS) -> np.ndarray:
+    """(n_rows, n_perm) uint64 minhash over char-trigram shingles."""
+    a, b = _mh_params(n_perm)
+    hashes, starts, counts = trigram_hashes(texts)
+    n = len(counts)
+    out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    hu = hashes.astype(np.uint64)
+    # vectorized over permutations; per-row segmented min via reduceat
+    nonempty = np.flatnonzero(counts > 0)
+    if nonempty.size == 0:
+        return out
+    seg_starts = starts[nonempty]
+    for p in range(n_perm):
+        hv = hu * a[p] + b[p]
+        hv ^= hv >> np.uint64(33)
+        out[nonempty, p] = np.minimum.reduceat(hv, seg_starts)
+    return out
+
+
+def with_minhash_bands(df: DataFrame, content: str,
+                       n_perm: int = _MH_PERMS,
+                       n_bands: int = _MH_BANDS) -> DataFrame:
+    """Adds `bands: array<long>` — one combined hash per band."""
+    rows_per_band = n_perm // n_bands
+
+    @pandas_udf("array<long>")
+    def bands_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            sig = minhash_signatures(texts.tolist(), n_perm)
+            b = sig.reshape(len(texts), n_bands, rows_per_band)
+            mixed = np.zeros((len(texts), n_bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                mixed = mixed * np.uint64(0x100000001B3) + b[:, :, r]
+            yield pd.Series(list(mixed.astype(np.int64)))
+
+    return df.withColumn("bands", bands_udf(F.col(content)))
+
+
+def _bucket_min_dedup(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
+    """Shared LSH dedup tail: explode bands, min-id per bucket, min over a
+    row's buckets; duplicate iff that min < own id. Two shuffles, both on
+    well-distributed hash keys; no pair enumeration."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(bands_col).alias("band_idx", "band_hash"),
+    )
+    bucket_min = exploded.groupBy("band_idx", "band_hash").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    return (
+        exploded.join(bucket_min, ["band_idx", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("canonical_id"))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """(id, canonical_id, is_duplicate) under minhash-LSH near-dup."""
+    return _bucket_min_dedup(with_minhash_bands(df, content), id_col, "bands")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_values(texts) -> np.ndarray:
+    """64-bit simhash over char-trigram features, int64."""
+    hashes, starts, counts = trigram_hashes(texts)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.flatnonzero(counts > 0)
+    if nonempty.size == 0:
+        return out.astype(np.int64)
+    hu = hashes.astype(np.uint64) * _PRIME
+    hu ^= hu >> np.uint64(29)
+    hu *= np.uint64(0xBF58476D1CE4E5B9)
+    hu ^= hu >> np.uint64(32)
+    bits = ((hu[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    contrib = bits.astype(np.int64) * 2 - 1          # ±1 per bit
+    acc = np.add.reduceat(contrib, starts[nonempty], axis=0)
+    sim = (acc > 0).astype(np.uint64)
+    vals = np.zeros(nonempty.size, dtype=np.uint64)
+    for k in range(64):
+        vals |= sim[:, k] << np.uint64(k)
+    out[nonempty] = vals
+    return out.view(np.int64)
+
+
+def with_simhash(df: DataFrame, content: str) -> DataFrame:
+    @pandas_udf("long")
+    def sh(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(simhash_values(texts.tolist()))
+
+    return df.withColumn("simhash", sh(F.col(content)))
+
+
+def simhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
+    """Near-dup iff any 16-bit simhash chunk matches (≈ hamming ≤ 3 within
+    a chunk-collision candidate set)."""
+    df = with_simhash(df, content)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(k).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * k)
+            .bitwiseAND(F.lit(0xFFFF)).alias("band_hash"),
+        ) for k in range(4)
+    ])
+    df = df.withColumn(
+        "bands", F.transform(chunks, lambda s: s["band_hash"])
+    )
+    return _bucket_min_dedup(df, id_col, "bands")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (verification / standalone)
+# ---------------------------------------------------------------------------
+
+
+def with_jaccard(pairs: DataFrame, left: str, right: str, k: int = 3,
+                 out: str = "jaccard") -> DataFrame:
+    """Exact |A∩B|/|A∪B| over distinct char k-shingles of two string cols."""
+    def sh(col):
+        c = F.col(col)
+        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+    a, b = sh(left), sh(right)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return pairs.withColumn(out, F.when(union > 0, inter / union).otherwise(0.0))

@@ -1,0 +1,33 @@
+"""Per-partition lineage rows (DQMInfo op-monitoring analog,
+/root/reference/include/dqm/DQMFormats.hpp:28-43 — times-run counters and
+timings per algorithm, exported per tick in DQMProcessor::get_info).
+
+One hash-agg keyed by spark_partition_id(): counts what each task saw and
+kept, so a run is auditable partition-by-partition (and the resume ledger
+can be cross-checked against it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lineage(decisions_df: DataFrame, run_id: str, wall_ms: int = 0,
+            attempt: int = 1) -> DataFrame:
+    return (
+        decisions_df
+        .withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id", "input_rows", "kept", "dropped",
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(attempt).cast("int").alias("attempt"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Metric aggregates: drop-rate by rule, langid histogram, ppl quantiles.
+
+The ChannelStream.transmit analog (/root/reference/include/dqm/
+ChannelStream.hpp:155-222): after the per-record pass, emit per-group
+statistical summaries keyed like dqm's Kafka header
+(source, run, partition, plane, algorithm) → here (run_id, lang, rule).
+
+Scale shape: ONE hash aggregation over (lang) — low-cardinality keys, so
+Spark's partial+final HashAggregate does the map-side combine and the
+shuffle moves only ~|langs| × |rules| partial rows (the sum/sum²
+accumulator pattern of /root/reference/src/algs/RMS.cpp:21-26). The rule
+fan-out to long format happens AFTER aggregation on the tiny result
+(A8 algebraic-reuse tactic: aggregate partials once, derive per-rule rows
+without rescanning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def metrics(decisions_df: DataFrame, run_id: str) -> DataFrame:
+    """decisions → metrics(run_id, lang, rule, rows_seen, rows_fired,
+    fire_rate, ppl_p50/p90/p99, langid_hist) — one row per (lang, rule)."""
+    fired_sums = [
+        F.sum(F.array_contains("fired_rules", r).cast("long")).alias(f"__f_{r}")
+        for r in C.ALL_RULES
+    ]
+    # exact percentiles (deterministic — matches a single-process oracle,
+    # unlike approx_percentile); F.percentile skips nulls. The langid
+    # histogram pre-aggregates (lang, pred) counts first, so the collect_list
+    # that builds the map sees at most |langs|+1 entries per group.
+    base = decisions_df.groupBy("lang", "langid_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    ).groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(
+                F.coalesce("langid_pred", F.lit("<none>")).alias("k"),
+                F.col("n").alias("v"),
+            )))
+        ).alias("langid_hist")
+    ).join(
+        decisions_df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.percentile("perplexity", 0.5).alias("ppl_p50"),
+            F.percentile("perplexity", 0.9).alias("ppl_p90"),
+            F.percentile("perplexity", 0.99).alias("ppl_p99"),
+            *fired_sums,
+        ),
+        "lang",
+    )
+    per_rule = F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("rule"),
+            F.col(f"__f_{r}").alias("rows_fired"),
+        )
+        for r in C.ALL_RULES
+    ])).alias("rf")
+    return (
+        base.select("lang", "rows_seen", "ppl_p50", "ppl_p90", "ppl_p99",
+                    "langid_hist", per_rule)
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "lang",
+            F.col("rf.rule").alias("rule"),
+            "rows_seen",
+            F.col("rf.rows_fired").alias("rows_fired"),
+            (F.col("rf.rows_fired") / F.col("rows_seen")).alias("fire_rate"),
+            "ppl_p50", "ppl_p90", "ppl_p99", "langid_hist",
+        )
+    )

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video columns in a training-data table:
+`media(binary)` + `media_meta(struct<kind,format,width,height,sample_rate>)`.
+The Spark-side machinery — schema, Arrow batch shape, mapInPandas decode
+stage, partition sizing — is real and tested; the codec step itself is
+STUBBED (this container ships no image/audio libraries): `decode_stub`
+raises NotImplementedError for real formats and supports the deterministic
+`fake/raw` format used by tests, which packs little-endian uint8 pixels.
+
+The feature extractor (byte histogram + moments) is the stand-in for a
+real embedding model and is fully vectorized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),      # image | audio | video
+    StructField("format", StringType()),    # png | jpeg | wav | fake/raw ...
+    StructField("payload", BinaryType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_mean", DoubleType()),
+    StructField("byte_std", DoubleType()),
+    StructField("histogram", ArrayType(LongType())),
+])
+
+_HIST_BINS = 16
+
+
+def decode_stub(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode a payload to a uint8 sample array.
+
+    Real codecs (png/jpeg/wav/mp4) are NOT available in this container —
+    plug Pillow/soundfile/av here in production. The deterministic
+    'fake/raw' format is the tested stand-in.
+    """
+    if fmt == "fake/raw":
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(
+        f"codec for format={fmt!r} not bundled; install a decoder and "
+        "register it in decode_stub")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decode → per-item feature vector. Arrow moves the binary
+    column in bounded batches (session caps arrow batch size); each task
+    decodes its slice independently — embarrassingly parallel."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, fmt, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["format"], pdf["payload"]
+            ):
+                arr = decode_stub(payload, fmt)
+                hist = np.bincount(arr >> 4, minlength=_HIST_BINS)
+                out.append((
+                    int(mid), kind, int(arr.size),
+                    float(arr.mean()) if arr.size else 0.0,
+                    float(arr.std()) if arr.size else 0.0,
+                    hist.astype(np.int64).tolist(),
+                ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def gen_fake_media(spark, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table (seeded bytes per id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.Generator(np.random.Philox(key=i))
+                size = 256 + (i * 37) % 512
+                rows.append((
+                    i, ("image", "audio", "video")[i % 3], "fake/raw",
+                    rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, MEDIA_SCHEMA)

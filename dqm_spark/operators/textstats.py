@@ -1,0 +1,61 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, heuristic language-ID, fingerprinting.
+
+All SQL-expressible pieces are native Columns (oracle-checkable against
+DuckDB); the n-gram langid heuristic reuses the models layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def with_token_counts(df: DataFrame, content: str = "content") -> DataFrame:
+    c = F.col(content)
+    return df.withColumns({
+        "ws_tokens": T.ws_token_count(c),
+        "bpe_tokens": T.bpe_token_count(c),
+    })
+
+
+def quality_score_col(content) -> Column:
+    """Composite [0,1] doc-quality score from cheap native features:
+    0.4·length saturation + 0.3·alnum ratio + 0.3·(1 − long-line penalty).
+    Deliberately simple arithmetic so the DuckDB oracle can restate it
+    verbatim."""
+    c = F.col(content) if isinstance(content, str) else content
+    tokens = T.ws_token_count(c).cast("double")
+    len_sat = F.least(tokens / F.lit(100.0), F.lit(1.0))
+    alnum = F.coalesce(T.alnum_ratio(c), F.lit(0.0))
+    line_pen = F.least(
+        T.max_line_len(c).cast("double") / F.lit(1000.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_sat + F.lit(0.3) * alnum
+        + F.lit(0.3) * (F.lit(1.0) - line_pen)
+    )
+
+
+def with_quality_score(df: DataFrame, content: str = "content") -> DataFrame:
+    return df.withColumn("quality_score", quality_score_col(content))
+
+
+def with_fingerprint(df: DataFrame, content: str = "content") -> DataFrame:
+    """md5 (cross-engine checkable) + xxhash64 (cheap 64-bit) fingerprints."""
+    c = F.col(content)
+    return df.withColumns({
+        "fp_md5": F.md5(c),
+        "fp_xxh64": F.xxhash64(c),
+    })
+
+
+def with_langid_heuristic(df: DataFrame, spark, content: str = "content") -> DataFrame:
+    """n-gram language-ID over arbitrary text (the models-layer scorer)."""
+    from .scoring import make_score_udf
+    s = make_score_udf(spark)(F.col(content))
+    return df.withColumns({
+        "langid_pred": s["langid_pred"],
+        "langid_conf": s["langid_conf"],
+    })

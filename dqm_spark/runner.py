@@ -1,0 +1,196 @@
+"""Resumable batch runner + spark-submit entry point.
+
+Re-expresses dqm's scheduler loop (/root/reference/plugins/
+DQMProcessor.cpp:408-476: tick → guard → process → reschedule; graceful
+drain/resume via the run flag) as a checkpointed batch driver:
+
+* the input is split into N *file-group buckets* (explicit parquet file
+  subsets, not row filters) — each bucket job reads ONLY its own files, so
+  resuming never rescans completed data. This is the batch analog of
+  processing Iceberg snapshots/partitions incrementally; at 100 TB each
+  bucket is a bounded, independently-retryable unit.
+* a JSON *ledger* row is committed after a bucket's outputs land; on
+  restart, ledgered buckets are skipped (idempotent: bucket output dirs are
+  overwritten whole, never appended). kill -9 between bucket jobs loses at
+  most one bucket of work.
+* per-bucket outputs: decisions/, metrics/, alerts/, lineage/ under
+  bucket=<k> subdirs.
+
+Skew note (north_rule): the decision path is row-local (zero shuffles), so
+repo-size skew cannot serialize a stage here; file-group buckets are
+balanced by size. The grouped operators that DO shuffle on `repo`
+(operators/dedup.py) salt explicitly.
+
+Packaging: `build_pyfiles_zip()` + `ensure_on_executors(spark)` ship the
+package to executor Python workers (equivalent to
+`spark-submit --py-files dqm_spark.zip`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+import uuid
+import zipfile
+
+from pyspark.sql import SparkSession
+
+from .operators.alerts import alerts as build_alerts
+from .operators.lineage import lineage as build_lineage
+from .operators.metrics import metrics as build_metrics
+from .pipeline import decisions as build_decisions
+
+
+# ---------------------------------------------------------------------------
+# packaging (spark-submit --py-files equivalent)
+# ---------------------------------------------------------------------------
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the dqm_spark package for --py-files / addPyFile shipping."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    dest = dest or os.path.join("/tmp", f"dqm_spark-{uuid.uuid4().hex[:8]}.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join("dqm_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    return dest
+
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_on_executors(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (idempotent per session)."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    sc.addPyFile(build_pyfiles_zip())
+    _SHIPPED.add(sc.applicationId)
+
+
+# ---------------------------------------------------------------------------
+# file-group bucketing + ledger
+# ---------------------------------------------------------------------------
+
+def plan_buckets(input_path: str, n_buckets: int) -> list[list[str]]:
+    """Split the input parquet fileset into n size-balanced groups
+    (greedy largest-first bin packing)."""
+    files = sorted(
+        glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    n_buckets = min(n_buckets, len(files))
+    sized = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+    buckets: list[list[str]] = [[] for _ in range(n_buckets)]
+    loads = [0] * n_buckets
+    for size, f in sized:
+        k = loads.index(min(loads))
+        buckets[k].append(f)
+        loads[k] += size
+    return [sorted(b) for b in buckets if b]
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ledger")
+
+
+def completed_buckets(out_dir: str) -> dict[int, dict]:
+    out = {}
+    for f in glob.glob(os.path.join(_ledger_dir(out_dir), "bucket-*.json")):
+        with open(f) as fh:
+            rec = json.load(fh)
+        out[rec["bucket"]] = rec
+    return out
+
+
+def _commit_ledger(out_dir: str, rec: dict) -> None:
+    os.makedirs(_ledger_dir(out_dir), exist_ok=True)
+    path = os.path.join(_ledger_dir(out_dir), f"bucket-{rec['bucket']:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, path)  # atomic commit — the resume point
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = 8,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full filter run over a parquet source_files dataset. Returns summary."""
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+    ensure_on_executors(spark)
+    buckets = plan_buckets(input_path, n_buckets)
+    done = completed_buckets(out_dir) if resume else {}
+    summary = {"run_id": run_id, "buckets": len(buckets),
+               "skipped": 0, "processed": 0, "rows": 0, "kept": 0}
+
+    for k, files in enumerate(buckets):
+        if k in done:
+            summary["skipped"] += 1
+            summary["rows"] += done[k]["rows"]
+            summary["kept"] += done[k]["kept"]
+            continue
+        t0 = time.monotonic()
+        attempt = done.get(k, {}).get("attempt", 0) + 1
+        src = spark.read.parquet(*files)
+        dec = build_decisions(src, spark)
+        dec.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "decisions", f"bucket={k}")
+        )
+        dec_back = spark.read.parquet(
+            os.path.join(out_dir, "decisions", f"bucket={k}")
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        met = build_metrics(dec_back, run_id)
+        met.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "metrics", f"bucket={k}"))
+        build_alerts(met, spark).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "alerts", f"bucket={k}"))
+        build_lineage(dec_back, run_id, wall_ms, attempt).write.mode(
+            "overwrite").parquet(os.path.join(out_dir, "lineage", f"bucket={k}"))
+        agg = dec_back.selectExpr(
+            "count(*) as rows", "sum(cast(keep as long)) as kept").first()
+        rec = {"bucket": k, "run_id": run_id, "files": len(files),
+               "rows": agg["rows"], "kept": agg["kept"] or 0,
+               "wall_ms": wall_ms, "attempt": attempt}
+        _commit_ledger(out_dir, rec)
+        summary["processed"] += 1
+        summary["rows"] += rec["rows"]
+        summary["kept"] += rec["kept"]
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="dqm_spark quality-filter runner (spark-submit entry)")
+    ap.add_argument("--input", required=True, help="parquet source_files dir")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from .session import get_spark
+    spark = get_spark("dqm-spark-runner")
+    summary = run(spark, args.input, args.output, args.buckets,
+                  args.run_id, resume=not args.no_resume)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

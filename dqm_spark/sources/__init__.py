@@ -1,0 +1,1 @@
+"""Source/sink helpers: driver testdata tables, source_files IO."""

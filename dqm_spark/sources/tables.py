@@ -1,0 +1,46 @@
+"""Readers for the driver-provided TPC-H-ish testdata (TESTDATA.md) and for
+source_files datasets.
+
+Everything is `spark.read.parquet` with column pruning / predicate pushdown
+left to Catalyst (the decode<T> scan analog,
+/root/reference/include/dqm/Decoder.hpp:28-70: filter on type, project, cap).
+Iceberg note: the production target is an Iceberg catalog; this sandbox has
+no Iceberg runtime jar, so `load_source_files` falls back to plain parquet
+dirs. The runner's file-group buckets + ledger reproduce Iceberg's
+snapshot-incremental semantics (SURVEY.md §2.1 S2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def load_source_files(spark: SparkSession, path: str,
+                      langs: tuple[str, ...] | None = None,
+                      limit: int | None = None) -> DataFrame:
+    """Scan with optional lang allowlist + row cap — the decode<T>
+    filter/limit shape; both push into the parquet scan."""
+    df = spark.read.parquet(path)
+    if langs:
+        df = df.filter(df.lang.isin(*langs))
+    if limit:
+        df = df.limit(limit)
+    return df

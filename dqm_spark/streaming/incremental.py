@@ -1,0 +1,46 @@
+"""Incremental (checkpointed) filtering via Structured Streaming.
+
+dqm's DF-passive mode polls for newly-landed TriggerRecords and processes
+each exactly once (/root/reference/plugins/DQMProcessor.cpp:623-640, SPSC
+queue + do_work poll). The Spark-native equivalent is a file-source stream:
+new parquet files under the input dir are discovered, run through the SAME
+decisions() dataflow (batch/stream parity — one code path), and appended to
+the output sink with Spark's own checkpoint giving exactly-once resume.
+
+`Trigger.AvailableNow` drains everything currently available then stops —
+dqm's graceful-drain semantics (DQMProcessor.cpp:186-204) — which also
+makes this usable as an incremental batch job on a cron cadence
+(dqm's how_often tick, minus the wall-clock coupling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..pipeline import decisions
+from ..schema import SOURCE_FILES
+
+
+def run_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Process all new files under input_dir exactly once, then stop."""
+    reader = (
+        spark.readStream.schema(SOURCE_FILES)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(input_dir)
+    )
+    dec = decisions(reader, spark)
+    q = (
+        dec.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,81 @@
+"""Dedup operators: exact, minhash-LSH, simhash, jaccard verification."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_dedup,
+    minhash_signatures,
+    simhash_dedup,
+    simhash_values,
+    with_jaccard,
+)
+
+BASE = (
+    "def process(items):\n    result = []\n    for item in items:\n"
+    "        result.append(item.strip())\n    return result\n" * 3
+)
+NEAR = BASE.replace("items", "values", 1)          # one token differs
+FAR = "SELECT l_orderkey, sum(l_extendedprice) FROM lineitem GROUP BY 1\n" * 5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [BASE, BASE, NEAR, FAR, FAR + "-- trailing\n"],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, "text", "doc_id").toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
+    dup = exact_duplicates(docs, "text", "doc_id").toPandas().set_index("doc_id")
+    assert bool(dup.loc[1, "is_duplicate"]) and dup.loc[1, "canonical_id"] == 0
+    assert not bool(dup.loc[2, "is_duplicate"])
+
+
+def test_minhash_identical_and_near(docs):
+    out = minhash_dedup(docs, "text", "doc_id").toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "is_duplicate"]) and out.loc[1, "canonical_id"] == 0
+    # one-token edit over a long doc: most bands collide
+    assert bool(out.loc[2, "is_duplicate"]) and out.loc[2, "canonical_id"] == 0
+    # unrelated content never collides with BASE
+    assert not bool(out.loc[3, "is_duplicate"])
+
+
+def test_minhash_signature_properties():
+    s = minhash_signatures([BASE, BASE, FAR])
+    assert (s[0] == s[1]).all()
+    agree = (s[0] == s[2]).mean()
+    assert agree < 0.2
+
+
+def test_simhash_dedup(docs):
+    out = simhash_dedup(docs, "text", "doc_id").toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "is_duplicate"])
+    assert bool(out.loc[2, "is_duplicate"])
+    v = simhash_values([BASE, NEAR, FAR])
+    ham_near = bin(int(v[0]) ^ int(v[1])).count("1")
+    ham_far = bin(int(v[0]) ^ int(v[2])).count("1")
+    assert ham_near < ham_far
+
+
+def test_jaccard_exact(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": ["abcdef", "abcdef"], "b": ["abcdef", "xyzuvw"]}))
+    out = with_jaccard(pairs, "a", "b").toPandas()
+    assert out["jaccard"][0] == 1.0
+    assert out["jaccard"][1] == 0.0
+
+
+def test_jaccard_hand_computed(spark):
+    # shingles("abcd")={abc,bcd}; shingles("abce")={abc,bce} → J = 1/3
+    pairs = spark.createDataFrame(pd.DataFrame({"a": ["abcd"], "b": ["abce"]}))
+    out = with_jaccard(pairs, "a", "b").toPandas()
+    assert abs(out["jaccard"][0] - 1 / 3) < 1e-12

@@ -1,0 +1,88 @@
+"""Metrics / alerts / lineage vs pandas-recomputed oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dqm_spark import config as C
+from dqm_spark.operators.alerts import alerts
+from dqm_spark.operators.lineage import lineage
+from dqm_spark.operators.metrics import metrics
+from dqm_spark.pipeline import decisions
+from dqm_spark.synth import gen_pandas
+
+from .reference_impl import run_reference
+
+N = 1500
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    pdf = gen_pandas(N)
+    golden = run_reference(pdf)
+    dec = decisions(spark.createDataFrame(pdf), spark)
+    met = metrics(dec, "run-t").toPandas()
+    return golden, dec, met
+
+
+def test_metrics_shape_and_counts(setup):
+    golden, _, met = setup
+    langs = set(golden["lang"])
+    assert set(met["lang"]) == langs
+    assert len(met) == len(langs) * len(C.ALL_RULES)
+    for lang, g in golden.groupby("lang"):
+        sub = met[met["lang"] == lang]
+        assert (sub["rows_seen"] == len(g)).all()
+        for rule in C.ALL_RULES:
+            want = int(g["fired_rules"].apply(lambda fr: rule in fr).sum())
+            got = int(sub[sub["rule"] == rule]["rows_fired"].iloc[0])
+            assert got == want, (lang, rule)
+
+
+def test_metrics_ppl_percentiles(setup):
+    golden, _, met = setup
+    for lang, g in golden.groupby("lang"):
+        ppl = g["perplexity"].dropna().to_numpy(dtype=float)
+        sub = met[met["lang"] == lang].iloc[0]
+        if ppl.size == 0:
+            assert np.isnan(sub["ppl_p50"]) or sub["ppl_p50"] is None
+            continue
+        for q, col in [(50, "ppl_p50"), (90, "ppl_p90"), (99, "ppl_p99")]:
+            want = np.percentile(ppl, q)  # linear interpolation, same as Spark
+            assert abs(sub[col] - want) < 1e-9 * max(1.0, abs(want)), (lang, col)
+
+
+def test_metrics_langid_hist(setup):
+    golden, _, met = setup
+    for lang, g in golden.groupby("lang"):
+        hist = met[met["lang"] == lang].iloc[0]["langid_hist"]
+        want = g["langid_pred"].fillna("<none>").value_counts().to_dict()
+        assert dict(hist) == want
+
+
+def test_alerts(setup, spark):
+    _, dec, met_pdf = setup
+    met = metrics(dec, "run-t")
+    al = alerts(met, spark).toPandas()
+    # every alert must correspond to a metrics row over its threshold
+    for _, a in al.iterrows():
+        thr = C.ALERT_FIRE_RATES.get(a["rule"], C.ALERT_FIRE_RATE_DEFAULT)
+        assert a["fire_rate"] > thr
+        assert a["severity"] in ("warning", "error")
+    # and anything over threshold must be alerted
+    over = 0
+    for _, m in met_pdf.iterrows():
+        thr = C.ALERT_FIRE_RATES.get(m["rule"], C.ALERT_FIRE_RATE_DEFAULT)
+        if m["fire_rate"] > thr:
+            over += 1
+    assert len(al) == over
+
+
+def test_lineage_sums(setup, spark):
+    golden, dec, _ = setup
+    lin = lineage(dec, "run-t", wall_ms=123).toPandas()
+    assert lin["input_rows"].sum() == N
+    assert lin["kept"].sum() == int(golden["keep"].sum())
+    assert lin["dropped"].sum() == N - int(golden["keep"].sum())
+    assert (lin["attempt"] == 1).all()

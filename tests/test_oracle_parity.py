@@ -1,0 +1,73 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: every queries()
+entry with an oracle_sql() is run both ways at sf0.001 and compared on
+row count, column names, and (sorted, column-name-ordered) values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+_ORACLES = entrymod.oracle_sql()
+_QUERIES = entrymod.queries()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, name):
+    got = _QUERIES[name](spark, SF_DIR).toPandas()
+    con = _duck(SF_DIR)
+    want = con.sql(_ORACLES[name]).df()
+    con.close()
+
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            ga = gv.to_numpy(dtype=float)
+            wa = wv.to_numpy(dtype=float)
+            ok = (np.isnan(ga) & np.isnan(wa)) | (np.abs(ga - wa) < 1e-9)
+            assert ok.all(), f"{name}.{c}: max diff {np.nanmax(np.abs(ga - wa))}"
+        else:
+            assert gv.tolist() == wv.tolist(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    assert out.count() > 0

@@ -1,0 +1,96 @@
+"""Runner: bucketed execution, ledger resume, idempotent restart
+(kill/rerun → identical output) and the streaming incremental variant."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from dqm_spark.runner import completed_buckets, plan_buckets, run
+from dqm_spark.streaming.incremental import run_incremental
+from dqm_spark.synth import gen_pandas
+
+N = 1200
+
+
+def _write_input(spark, tmp, n=N, files=6):
+    path = os.path.join(tmp, "source_files")
+    pdf = gen_pandas(n)
+    spark.createDataFrame(pdf).repartition(files).write.mode(
+        "overwrite").parquet(path)
+    return path
+
+
+def _decisions_signature(spark, out_dir):
+    df = spark.read.parquet(os.path.join(out_dir, "decisions"))
+    rows = df.selectExpr(
+        "path", "keep", "content_sha256",
+        "array_join(fired_rules, ',') as fr"
+    ).collect()
+    return sorted((r["path"], r["keep"], r["content_sha256"], r["fr"])
+                  for r in rows)
+
+
+def test_plan_buckets_balance(spark, tmp_path):
+    inp = _write_input(spark, str(tmp_path))
+    buckets = plan_buckets(inp, 3)
+    files = [f for b in buckets for f in b]
+    assert len(files) == len(set(files))
+    assert 1 <= len(buckets) <= 3
+
+
+def test_run_and_resume_identical(spark, tmp_path):
+    inp = _write_input(spark, str(tmp_path))
+    out_full = os.path.join(str(tmp_path), "out_full")
+    s1 = run(spark, inp, out_full, n_buckets=3, run_id="r1")
+    assert s1["rows"] == N
+    assert s1["processed"] == len(completed_buckets(out_full))
+    sig_full = _decisions_signature(spark, out_full)
+
+    # simulate a crash after 2 of 3 buckets: remove one ledger entry AND its
+    # (possibly partial) outputs — rerun must redo exactly that bucket
+    ledgers = sorted(glob.glob(os.path.join(out_full, "_ledger", "*.json")))
+    with open(ledgers[-1]) as fh:
+        victim = json.load(fh)["bucket"]
+    os.remove(ledgers[-1])
+    s2 = run(spark, inp, out_full, n_buckets=3, run_id="r1")
+    assert s2["skipped"] == len(ledgers) - 1
+    assert s2["processed"] == 1
+    assert _decisions_signature(spark, out_full) == sig_full
+
+    led = completed_buckets(out_full)
+    assert led[victim]["attempt"] == 1  # fresh ledger (old one removed)
+    assert s2["rows"] == N
+
+
+def test_run_outputs_exist(spark, tmp_path):
+    inp = _write_input(spark, str(tmp_path), n=400, files=2)
+    out = os.path.join(str(tmp_path), "out")
+    run(spark, inp, out, n_buckets=2, run_id="r2")
+    for sub in ("decisions", "metrics", "alerts", "lineage", "_ledger"):
+        assert os.path.exists(os.path.join(out, sub)), sub
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.selectExpr("sum(input_rows) s").first()["s"] == 400
+
+
+def test_streaming_incremental_exactly_once(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "stream_in")
+    out_dir = os.path.join(tmp, "stream_out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+
+    pdf = gen_pandas(600)
+    first, second = pdf.iloc[:300], pdf.iloc[300:]
+    spark.createDataFrame(first).coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 300
+
+    spark.createDataFrame(second).coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 600
+    assert out.select("path").distinct().count() == 600  # exactly-once

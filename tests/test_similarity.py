@@ -1,0 +1,65 @@
+"""Similarity search: brute-force exact vs pandas GEMM parity, LSH/IVF
+recall against the exact baseline (driver embeddings table, sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dqm_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(emb.vec_id < 5)
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    out = brute_force_topk(emb, queries, k=K).toPandas()
+    return out
+
+
+def test_bruteforce_shape(exact):
+    assert len(exact) == 5 * K
+    assert exact.groupby("query_id")["rank"].max().eq(K).all()
+    assert (exact["cosine"] <= 1.0 + 1e-9).all()
+
+
+def test_pandas_gemm_parity(emb, queries, exact):
+    out = brute_force_topk_pandas(emb, queries, k=K).toPandas()
+    a = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert (abs(a["cosine"] - b["cosine"]) < 1e-7).all()
+
+
+def _recall(approx, exact):
+    r = 0.0
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        r += len(want & got) / len(want)
+    return r / exact["query_id"].nunique()
+
+
+def test_lsh_recall(emb, queries, exact):
+    out = lsh_topk(emb, queries, k=K, n_planes=4, n_tables=8).toPandas()
+    assert _recall(out, exact) >= 0.5   # OR-amplified: 8 tables x 4 planes
+
+
+def test_ivf_recall(emb, queries, exact):
+    out = ivf_topk(emb, queries, k=K, n_cells=8, n_probe=4).toPandas()
+    assert _recall(out, exact) >= 0.6

@@ -1,0 +1,62 @@
+"""Token counts, quality score, fingerprints; multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    gen_fake_media,
+)
+from dqm_spark.operators.textstats import (
+    with_fingerprint,
+    with_quality_score,
+    with_token_counts,
+)
+
+
+def test_token_counts(spark):
+    pdf = pd.DataFrame({"content": [
+        "one two  three\n four", "", "   ", "solo", "a_b c2 %"]})
+    out = with_token_counts(spark.createDataFrame(pdf)).toPandas()
+    assert out["ws_tokens"].tolist() == [4, 0, 0, 1, 3]
+    # bpe-ish: a_b -> [a_b], c2 -> [c, 2], % -> [%]
+    assert out["bpe_tokens"].tolist()[4] == 4
+
+
+def test_quality_score_bounds(spark):
+    pdf = pd.DataFrame({"content": [
+        "word " * 200, "x", "", "z" * 5000]})
+    out = with_quality_score(spark.createDataFrame(pdf)).toPandas()
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert out["quality_score"][0] > out["quality_score"][3]
+
+
+def test_fingerprints(spark):
+    import hashlib
+    pdf = pd.DataFrame({"content": ["hello world", "hello world", "other"]})
+    out = with_fingerprint(spark.createDataFrame(pdf)).toPandas()
+    assert out["fp_md5"][0] == out["fp_md5"][1] != out["fp_md5"][2]
+    assert out["fp_md5"][0] == hashlib.md5(b"hello world").hexdigest()
+    assert out["fp_xxh64"][0] == out["fp_xxh64"][1]
+
+
+def test_multimodal_features(spark):
+    media = gen_fake_media(spark, 30, partitions=2)
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    assert len(feats) == 30
+    assert (feats["histogram"].apply(sum) == feats["n_bytes"]).all()
+    assert feats["byte_mean"].between(100, 155).all()  # uniform bytes
+    # deterministic: same id → same features
+    again = extract_features(media).toPandas().sort_values("media_id")
+    assert feats["byte_mean"].tolist() == again["byte_mean"].tolist()
+
+
+def test_decode_stub_gates_real_codecs():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG...", "png")
+    arr = decode_stub(bytes(range(10)), "fake/raw")
+    assert isinstance(arr, np.ndarray) and arr.tolist() == list(range(10))
