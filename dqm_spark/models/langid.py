@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import MIN_CHARS_FOR_MODELS, MODEL_PREFIX_CHARS
 from .corpus import LINE_POOLS, corpus_text
-from .ngram import HASH_BUCKETS, trigram_hashes
+from .ngram import HASH_BUCKETS, segment_sums, trigram_features
 
 CLASSES: tuple[str, ...] = tuple(LINE_POOLS.keys())  # insertion order, fixed
 _ALPHA = 0.5
@@ -29,7 +29,7 @@ def train_weights() -> np.ndarray:
     cols = []
     for cls in CLASSES:
         counts = np.zeros(HASH_BUCKETS, dtype=np.float64)
-        h, _, _ = trigram_hashes([corpus_text(cls)])
+        h, _, _ = trigram_features([corpus_text(cls)])
         np.add.at(counts, h, 1.0)
         logp = np.log(counts + _ALPHA) - np.log(counts.sum() + _ALPHA * HASH_BUCKETS)
         cols.append(logp)
@@ -46,28 +46,23 @@ def get_weights() -> np.ndarray:
     return _WEIGHTS
 
 
-def predict_batch(texts, weights: np.ndarray | None = None):
-    """Score a batch of strings.
-
-    Returns (pred, conf): object ndarray of class names (None where the row
-    is shorter than MIN_CHARS_FOR_MODELS — the Fourier skip-if-short analog)
-    and float64 softmax confidence (nan where skipped).
-    """
-    w = get_weights() if weights is None else weights
-    n = len(texts)
+def _classify(hashes, row_ids, row_counts, lens, w):
+    """Shared scorer core (precomputed trigram features) → (pred, conf)."""
+    n = len(row_counts)
     pred = np.full(n, None, dtype=object)
     conf = np.full(n, np.nan, dtype=np.float64)
-    hashes, row_starts, row_counts = trigram_hashes(texts, MODEL_PREFIX_CHARS)
     if hashes.size == 0:
         return pred, conf
-
-    per_tri = w[hashes].astype(np.float64)            # (T, C) gather
     nonempty = np.flatnonzero(row_counts > 0)
     if nonempty.size == 0:
         return pred, conf
-    seg = np.add.reduceat(per_tri, row_starts[nonempty], axis=0)
-    # reduceat segments end at the next listed start; the last segment runs to
-    # the end of per_tri, which is exactly the last nonempty row's extent.
+    # per-class segment sums via bincount weights — O(T) per class with no
+    # (T, C) materialization (the hot path at corpus scale)
+    wf = w.astype(np.float64, copy=False)
+    seg = np.stack(
+        [segment_sums(wf[hashes, c], row_ids, n) for c in range(w.shape[1])],
+        axis=1,
+    )[nonempty]
     mean_logp = seg / row_counts[nonempty, None]      # length-normalized
     # temperature chosen so clean single-language files are confidently >0.6
     z = mean_logp * 8.0
@@ -76,12 +71,25 @@ def predict_batch(texts, weights: np.ndarray | None = None):
     p /= p.sum(axis=1, keepdims=True)
     best = p.argmax(axis=1)
 
-    lens = np.fromiter(
-        (0 if t is None else len(t) for t in texts), dtype=np.int64, count=n
-    )
-    ok = nonempty[lens[nonempty] >= MIN_CHARS_FOR_MODELS]
     ok_pos = np.flatnonzero(lens[nonempty] >= MIN_CHARS_FOR_MODELS)
+    ok = nonempty[ok_pos]
     cls_arr = np.array(CLASSES, dtype=object)
     pred[ok] = cls_arr[best[ok_pos]]
     conf[ok] = p[ok_pos, best[ok_pos]]
     return pred, conf
+
+
+def predict_batch(texts, weights: np.ndarray | None = None):
+    """Score a batch of strings.
+
+    Returns (pred, conf): object ndarray of class names (None where the row
+    is shorter than MIN_CHARS_FOR_MODELS — the Fourier skip-if-short analog)
+    and float64 softmax confidence (nan where skipped).
+    """
+    w = get_weights() if weights is None else weights
+    hashes, row_ids, row_counts = trigram_features(texts, MODEL_PREFIX_CHARS)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
+    return _classify(hashes, row_ids, row_counts, lens, w)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import MIN_CHARS_FOR_MODELS, MODEL_PREFIX_CHARS
 from .corpus import LINE_POOLS, corpus_text
-from .ngram import HASH_BUCKETS, trigram_hashes
+from .ngram import HASH_BUCKETS, segment_sums, trigram_features
 
 _DISCOUNT = 0.75
 # train on all code + doc classes (not the prose class — prose should score
@@ -34,7 +34,7 @@ _LOGP: np.ndarray | None = None
 
 def train_log_probs() -> np.ndarray:
     counts = np.zeros(HASH_BUCKETS, dtype=np.float64)
-    h, _, _ = trigram_hashes(["\n".join(corpus_text(c) for c in _TRAIN_CLASSES)])
+    h, _, _ = trigram_features(["\n".join(corpus_text(c) for c in _TRAIN_CLASSES)])
     np.add.at(counts, h, 1.0)
     n_total = counts.sum()
     n_seen = float((counts > 0).sum())
@@ -50,22 +50,43 @@ def get_log_probs() -> np.ndarray:
     return _LOGP
 
 
-def perplexity_batch(texts, log_probs: np.ndarray | None = None) -> np.ndarray:
-    """float64 perplexity per row; nan where len(text) < MIN_CHARS_FOR_MODELS."""
-    lp = get_log_probs() if log_probs is None else log_probs
-    n = len(texts)
+def _ppl_from_features(hashes, row_ids, row_counts, lens, lp) -> np.ndarray:
+    n = len(row_counts)
     out = np.full(n, np.nan, dtype=np.float64)
-    hashes, row_starts, row_counts = trigram_hashes(texts, MODEL_PREFIX_CHARS)
     if hashes.size == 0:
         return out
     nonempty = np.flatnonzero(row_counts > 0)
     if nonempty.size == 0:
         return out
-    seg = np.add.reduceat(lp[hashes].astype(np.float64), row_starts[nonempty])
+    seg = segment_sums(lp[hashes].astype(np.float64), row_ids, n)[nonempty]
     ppl = np.exp(-seg / row_counts[nonempty])
-    lens = np.fromiter(
-        (0 if t is None else len(t) for t in texts), dtype=np.int64, count=n
-    )
     mask = lens[nonempty] >= MIN_CHARS_FOR_MODELS
     out[nonempty[mask]] = ppl[mask]
     return out
+
+
+def perplexity_batch(texts, log_probs: np.ndarray | None = None) -> np.ndarray:
+    """float64 perplexity per row; nan where len(text) < MIN_CHARS_FOR_MODELS."""
+    lp = get_log_probs() if log_probs is None else log_probs
+    hashes, row_ids, row_counts = trigram_features(texts, MODEL_PREFIX_CHARS)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
+    return _ppl_from_features(hashes, row_ids, row_counts, lens, lp)
+
+
+def score_all(texts, weights: np.ndarray, log_probs: np.ndarray):
+    """Combined scorer: ONE trigram extraction feeding both models
+    (the DFModule one-decode-feeds-all-algorithms tactic,
+    /root/reference/include/dqm/modules/DFModule.hpp:122-131).
+    Returns (pred, conf, ppl)."""
+    from .langid import _classify
+    hashes, row_ids, row_counts = trigram_features(texts, MODEL_PREFIX_CHARS)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in texts),
+        dtype=np.int64, count=len(texts),
+    )
+    pred, conf = _classify(hashes, row_ids, row_counts, lens, weights)
+    ppl = _ppl_from_features(hashes, row_ids, row_counts, lens, log_probs)
+    return pred, conf, ppl

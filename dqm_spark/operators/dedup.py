@@ -115,18 +115,19 @@ def with_minhash_bands(df: DataFrame, content: str,
 
 
 def _bucket_min_dedup(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
-    """Shared LSH dedup tail: explode bands, min-id per bucket, min over a
-    row's buckets; duplicate iff that min < own id. Two shuffles, both on
-    well-distributed hash keys; no pair enumeration."""
+    """Shared LSH dedup tail: explode bands, min-id per bucket (window),
+    min over a row's buckets; duplicate iff that min < own id. Two
+    shuffles on well-distributed hash keys; no pair enumeration; the
+    signature UDF is evaluated exactly once (a window, not a self-join —
+    a self-join would recompute the UDF subtree on both sides)."""
+    from pyspark.sql import Window
     exploded = df.select(
         F.col(id_col),
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
     )
-    bucket_min = exploded.groupBy("band_idx", "band_hash").agg(
-        F.min(id_col).alias("bucket_min")
-    )
+    w = Window.partitionBy("band_idx", "band_hash")
     return (
-        exploded.join(bucket_min, ["band_idx", "band_hash"])
+        exploded.withColumn("bucket_min", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(F.min("bucket_min").alias("canonical_id"))
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
@@ -144,25 +145,31 @@ def minhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
 
 
 def simhash_values(texts) -> np.ndarray:
-    """64-bit simhash over char-trigram features, int64."""
-    hashes, starts, counts = trigram_hashes(texts)
+    """64-bit simhash over char-trigram features, int64.
+
+    Hot path is unpackbits + per-bit segment sums (bincount weights) —
+    no (T, 64) int64 temporaries."""
+    from ..models.ngram import trigram_features
+    hashes, row_ids, counts = trigram_features(texts)
     n = len(counts)
     out = np.zeros(n, dtype=np.uint64)
-    nonempty = np.flatnonzero(counts > 0)
-    if nonempty.size == 0:
-        return out.astype(np.int64)
+    if hashes.size == 0:
+        return out.view(np.int64)
     hu = hashes.astype(np.uint64) * _PRIME
     hu ^= hu >> np.uint64(29)
     hu *= np.uint64(0xBF58476D1CE4E5B9)
     hu ^= hu >> np.uint64(32)
-    bits = ((hu[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-    contrib = bits.astype(np.int64) * 2 - 1          # ±1 per bit
-    acc = np.add.reduceat(contrib, starts[nonempty], axis=0)
-    sim = (acc > 0).astype(np.uint64)
-    vals = np.zeros(nonempty.size, dtype=np.uint64)
+    # (T, 64) uint8 of bits, little-endian within each byte column
+    bits = np.unpackbits(
+        hu.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    vals = np.zeros(n, dtype=np.uint64)
+    half = counts.astype(np.float64) / 2.0
     for k in range(64):
-        vals |= sim[:, k] << np.uint64(k)
-    out[nonempty] = vals
+        ones = np.bincount(
+            row_ids, weights=bits[:, k].astype(np.float64), minlength=n)
+        vals |= (ones > half).astype(np.uint64) << np.uint64(k)
+    nonempty = counts > 0
+    out[nonempty] = vals[nonempty]
     return out.view(np.int64)
 
 

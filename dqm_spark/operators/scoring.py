@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..models.langid import get_weights, predict_batch
-from ..models.perplexity import get_log_probs, perplexity_batch
+from ..models.langid import get_weights
+from ..models.perplexity import get_log_probs, score_all
 
 SCORE_SCHEMA = (
     "struct<langid_pred:string, langid_conf:double, perplexity:double>"
@@ -32,9 +32,8 @@ SCORE_SCHEMA = (
 
 
 def _score_frame(texts: pd.Series, w: np.ndarray, lp: np.ndarray) -> pd.DataFrame:
-    vals = texts.tolist()
-    pred, conf = predict_batch(vals, w)
-    ppl = perplexity_batch(vals, lp)
+    # one trigram extraction feeds both models (see models.perplexity.score_all)
+    pred, conf, ppl = score_all(texts.tolist(), w, lp)
     return pd.DataFrame({
         "langid_pred": pd.array(pred, dtype="string"),
         # Float64 (masked) so NaN → SQL NULL across Arrow, never NaN

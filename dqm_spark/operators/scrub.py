@@ -28,8 +28,8 @@ def scrubbed_col(content: Column) -> Column:
 
 def with_scrub(df: DataFrame, content: str = "content",
                keep: str = "keep") -> DataFrame:
-    scrubbed = F.when(F.col(keep), scrubbed_col(F.col(content)))
-    return df.withColumns({
-        "scrubbed_content": scrubbed,
-        "content_sha256": F.sha2(scrubbed, 256),
-    })
+    # two steps so the regex chain is evaluated once, not re-inlined
+    # under sha2 (Catalyst inlines expressions referenced by alias)
+    df = df.withColumn(
+        "scrubbed_content", F.when(F.col(keep), scrubbed_col(F.col(content))))
+    return df.withColumn("content_sha256", F.sha2("scrubbed_content", 256))
