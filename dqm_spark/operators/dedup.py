@@ -204,6 +204,42 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def embedding_cosine_dedup(df: DataFrame, vec: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.95,
+                           dim: int = 64, n_planes: int = 8,
+                           n_tables: int = 4) -> DataFrame:
+    """Embedding near-dup: rows whose cosine to a smaller-id row ≥ threshold
+    AND that share ≥1 LSH bucket. Bucket-local pair generation keeps the
+    candidate set linear-ish (high-threshold dups almost always collide);
+    AQE skew-join splitting handles a degenerate bucket."""
+    from ..operators.similarity import cosine_col, with_lsh_buckets
+    b = with_lsh_buckets(df, vec, dim, n_planes, n_tables)
+    ex = b.select(F.col(id_col), F.col(vec),
+                  F.explode("lsh_buckets").alias("bucket"))
+    a = ex.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                  F.col(vec).alias("va"))
+    c = ex.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                  F.col(vec).alias("vb"))
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    canon = pairs.groupBy("id_b").agg(F.min("id_a").alias("canonical_id"))
+    return (
+        df.select(F.col(id_col))
+        .join(canon, df[id_col] == canon["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
 def with_jaccard(pairs: DataFrame, left: str, right: str, k: int = 3,
                  out: str = "jaccard") -> DataFrame:
     """Exact |A∩B|/|A∪B| over distinct char k-shingles of two string cols."""

@@ -1,0 +1,3 @@
+"""Physical-plan inspection helpers (scale hygiene checks)."""
+
+from .explain import assert_plan, plan_counts, plan_string  # noqa: F401

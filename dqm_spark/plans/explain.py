@@ -1,0 +1,64 @@
+"""Physical-plan hygiene: programmatic checks that the plans we ship are
+the plans we want at 100 TB.
+
+The reference has no optimizer — its performance is hand-built tactics
+(SURVEY.md §4). Catalyst gives us those tactics for free ONLY if the plan
+actually shows them, so tests assert on the executed plan:
+
+* filters/projections reach the parquet scan (PushedFilters / ReadSchema);
+* Python models cost exactly ONE ArrowEvalPython node (no accidental UDF
+  re-evaluation through expression inlining or self-joins);
+* small-dimension joins broadcast (BroadcastHashJoin, no SortMergeJoin);
+* the decision path contains ZERO exchanges (shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def plan_counts(df: DataFrame) -> dict[str, int]:
+    import re
+    s = plan_string(df)
+    return {
+        # codegen stages render as "*(n) Operator" in toString()
+        "whole_stage_codegen": len(set(re.findall(r"\*\((\d+)\)", s))),
+        "arrow_eval_python": s.count("ArrowEvalPython"),
+        "batch_eval_python": s.count("BatchEvalPython"),
+        "exchanges": s.count("Exchange"),
+        "broadcast_hash_join": s.count("BroadcastHashJoin"),
+        "sort_merge_join": s.count("SortMergeJoin"),
+        "pushed_filters": s.count("PushedFilters: ["),
+    }
+
+
+def assert_plan(df: DataFrame, *, max_exchanges: int | None = None,
+                max_arrow_evals: int | None = None,
+                require_broadcast_join: bool = False,
+                forbid_sort_merge_join: bool = False,
+                require_pushed_filter: str | None = None) -> dict[str, int]:
+    c = plan_counts(df)
+    s = plan_string(df)
+    if max_exchanges is not None:
+        assert c["exchanges"] <= max_exchanges, \
+            f"{c['exchanges']} exchanges > {max_exchanges}:\n{s[:2000]}"
+    if max_arrow_evals is not None:
+        assert c["arrow_eval_python"] <= max_arrow_evals, \
+            f"{c['arrow_eval_python']} ArrowEvalPython nodes:\n{s[:2000]}"
+    assert c["batch_eval_python"] == 0, "row-at-a-time Python UDF in plan!"
+    if require_broadcast_join:
+        assert c["broadcast_hash_join"] >= 1, f"no broadcast join:\n{s[:2000]}"
+    if forbid_sort_merge_join:
+        assert c["sort_merge_join"] == 0, f"sort-merge join present:\n{s[:2000]}"
+    if require_pushed_filter is not None:
+        assert require_pushed_filter in s, \
+            f"expected pushed filter {require_pushed_filter!r}:\n{s[:3000]}"
+    return c

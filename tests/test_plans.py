@@ -1,0 +1,59 @@
+"""Physical-plan hygiene (SURVEY.md §4): the tactics the reference
+hand-builds must actually appear in our executed plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.pipeline import decisions
+from dqm_spark.plans import assert_plan, plan_string
+from dqm_spark.synth import gen_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "sf")
+    spark.createDataFrame(gen_pandas(300)).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_decision_path_zero_shuffles_one_arrow_eval(spark, src):
+    d = decisions(src, spark)
+    c = assert_plan(d, max_exchanges=0, max_arrow_evals=1)
+    assert c["whole_stage_codegen"] >= 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter(F.col("lang").isin("en", "de")).select("doc_id", "lang")
+    s = plan_string(df)
+    assert "PushedFilters: [In(lang" in s
+    # column pruning: content column must not be read
+    assert "text" not in s.split("ReadSchema")[1]
+
+
+def test_broadcast_join_for_small_dims(spark):
+    import __spark_entry__ as em
+    q5 = em.q_tpch_q5(spark, SF)
+    assert_plan(q5, require_broadcast_join=True)
+
+
+def test_metrics_single_exchange_family(spark, src):
+    from dqm_spark.operators.metrics import metrics
+    d = decisions(src, spark)
+    m = metrics(d, "t")
+    # partial+final hash agg: shuffles exist but stay bounded (agg + the
+    # histogram pre-agg + final join), and the Python UDF is not re-evaluated
+    # more than the two branches require
+    c = assert_plan(m, max_arrow_evals=2)
+    assert c["exchanges"] <= 6
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    import __spark_entry__ as em
+    for name, fn in em.queries().items():
+        df = fn(spark, SF)
+        assert "BatchEvalPython" not in plan_string(df), name
