@@ -1,0 +1,56 @@
+"""Fourier operators — the literal capability of the reference's FFT
+monitors (/root/reference/src/algs/Fourier.cpp:38-79,
+include/dqm/modules/FourierContainer.hpp:136-175), kept alongside the
+perplexity scorer that fills their *role* in the quality filter.
+
+* `fft_per_group`: per-group real FFT over a value series ordered by time
+  (numpy rfft inside applyInPandas — Spark has no native FFT). Groups
+  shorter than `min_points` are skipped with a null spectrum rather than
+  erroring (Fourier.cpp:42-46 insufficient-points semantics).
+* plane-sum linearity (FourierContainer.hpp:168-175): rfft is linear, so
+  the spectrum of a SUM of series equals the sum of spectra — the grand
+  total costs one combine of per-group partials, never a rescan. Verified
+  in tests/test_fourier.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+FFT_SCHEMA = StructType([
+    StructField("group_id", LongType()),
+    StructField("n_points", IntegerType()),
+    StructField("top_freq_idx", IntegerType()),       # dominant non-DC bin
+    StructField("spectrum", ArrayType(DoubleType())),  # |rfft| magnitudes
+])
+
+
+def fft_per_group(df: DataFrame, group: str, order: list[str],
+                  value: str, n_points: int = 64,
+                  min_points: int = 8) -> DataFrame:
+    """Per-group |rfft| over the first n_points values in `order` order."""
+
+    def fft(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        vals = pdf[value].to_numpy(dtype=np.float64)[:n_points]
+        gid = int(key[0])
+        if vals.size < min_points:
+            return pd.DataFrame([{
+                "group_id": gid, "n_points": int(vals.size),
+                "top_freq_idx": None, "spectrum": None,
+            }])
+        mag = np.abs(np.fft.rfft(vals))
+        top = int(np.argmax(mag[1:]) + 1) if mag.size > 1 else 0
+        return pd.DataFrame([{
+            "group_id": gid, "n_points": int(vals.size),
+            "top_freq_idx": top, "spectrum": mag.tolist(),
+        }])
+
+    return df.groupBy(group).applyInPandas(fft, FFT_SCHEMA)

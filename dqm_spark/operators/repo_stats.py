@@ -1,0 +1,109 @@
+"""Per-repo aggregates with explicit skew salting (north_rule requirement).
+
+The synthetic corpus plants a monorepo holding ~30% of all rows (synth.py
+MONOREPO), mirroring real code corpora. Spark's hash aggregation already
+does map-side partial aggregation for ALGEBRAIC aggregates, so a plain
+groupBy(repo).count() survives skew; what does NOT survive is any
+HOLISTIC per-group computation (percentiles, collect_list, per-group
+applyInPandas) — one reducer receives the whole monorepo.
+
+This module shows both scale patterns:
+
+* `salted_two_stage_stats` — holistic-ish stats via an ALGEBRAIC rewrite:
+  stage 1 groups by (repo, salt) — the monorepo splits across SALT_BUCKETS
+  reducers — producing partial (count, sum, sum², min, max, histogram)
+  accumulators (the dqm sum/sum² pattern, /root/reference/src/algs/RMS.cpp:21-26);
+  stage 2 merges partials per repo. Percentiles come from the merged
+  fixed-bin histogram (dqm Hist semantics: under/overflow dropped,
+  /root/reference/src/algs/Hist.cpp:63-101).
+* `salted_repartition` — spread any downstream per-partition work
+  (writes, mapInPandas) across hash(path) so a single repo cannot pin a
+  task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SALT_BUCKETS
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 400.0, 40   # mean-line-length histogram
+
+
+def salted_repartition(df: DataFrame, *cols: str,
+                       buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Repartition by hash of fine-grained cols (e.g. path), never by the
+    skewed group key. NOTE: partition on the raw columns — pre-hashing into
+    `buckets` distinct values and hash-partitioning THAT double-hashes a
+    small keyspace into lumpy balls-in-bins placement."""
+    return df.repartition(buckets, *[F.col(c) for c in cols])
+
+
+def salted_two_stage_stats(df: DataFrame, value: str = "mean_line_len",
+                           repo: str = "repo",
+                           buckets: int = SALT_BUCKETS) -> DataFrame:
+    """repo → (n_files, mean, stddev_samp-equivalent, min, max,
+    hist array, p50 from histogram) with the heavy first shuffle keyed by
+    (repo, salt) so the monorepo fans out over `buckets` reducers."""
+    v = F.col(value)
+    bin_idx = F.when(
+        (v >= HIST_LO) & (v < HIST_HI),
+        F.floor((v - HIST_LO) / ((HIST_HI - HIST_LO) / HIST_BINS)).cast("int"),
+    )  # null = under/overflow, silently dropped (dqm Hist.cpp:69-86)
+
+    stage1 = (
+        df.withColumn("__salt", F.pmod(F.xxhash64("path"), F.lit(buckets)))
+        .withColumn("__bin", bin_idx)
+        .groupBy(repo, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+            F.array(*[
+                F.sum((F.col("__bin") == b).cast("long")).alias(f"h{b}")
+                for b in range(HIST_BINS)
+            ]).alias("hist"),
+        )
+    )
+    merged = stage1.groupBy(repo).agg(
+        F.sum("n").alias("n_files"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.array(*[
+            F.sum(F.col("hist")[b]).alias(f"h{b}") for b in range(HIST_BINS)
+        ]).alias("hist"),
+    )
+    n, s1, s2 = F.col("n_files"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    # sample variance from partials: (s2 - n*mean^2) / (n-1); -1 sentinel on
+    # n<=1 per dqm STD semantics (src/algs/STD.cpp:42-44)
+    std = F.when(
+        n > 1, F.sqrt((s2 - n * mean * mean) / (n - F.lit(1)))
+    ).otherwise(F.lit(-1.0))
+
+    # p50 from the merged histogram: first bin where cumsum >= n_in_hist/2
+    hist = F.col("hist")
+    n_in_hist = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    cum = F.transform(
+        F.sequence(F.lit(0), F.lit(HIST_BINS - 1)),
+        lambda i: F.aggregate(F.slice(hist, F.lit(1), i + 1),
+                              F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    p50_bin = F.array_position(
+        F.transform(cum, lambda c: c * 2 >= n_in_hist), True)
+    bin_width = (HIST_HI - HIST_LO) / HIST_BINS
+    p50 = F.when(
+        n_in_hist > 0,
+        HIST_LO + (p50_bin.cast("double") - 0.5) * bin_width,
+    )
+
+    return merged.select(
+        repo, "n_files",
+        mean.alias("mean_v"), std.alias("std_v"),
+        "min_v", "max_v", p50.alias("p50_hist"), "hist",
+    )
