@@ -1,0 +1,48 @@
+"""Iceberg table IO — gated on the runtime jar being available.
+
+The production target (north_star) is an Iceberg catalog: snapshot-
+incremental ingest, atomic append commits for metrics, and time-travel for
+reruns. This sandbox ships no `iceberg-spark-runtime` jar and has no
+network to fetch one, so every entry point degrades explicitly:
+
+* `iceberg_available(spark)` — probes for the SparkCatalog class;
+* `read_table` / `append` — use `spark.read.table` / `writeTo(...).append()`
+  when a catalog is configured, else fall back to parquet paths (the
+  runner's file-group buckets + atomic ledger reproduce the snapshot
+  semantics — see runner.py).
+
+To enable on a real cluster:
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<v> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=<path>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """`catalog.db.table` when Iceberg is live, else a parquet dir path."""
+    if "/" not in name_or_path and iceberg_available(spark):
+        return spark.read.table(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def append(df: DataFrame, name_or_path: str) -> None:
+    """Atomic Iceberg append, or parquet dir append fallback."""
+    spark = df.sparkSession
+    if "/" not in name_or_path and iceberg_available(spark):
+        df.writeTo(name_or_path).append()
+    else:
+        df.write.mode("append").parquet(name_or_path)

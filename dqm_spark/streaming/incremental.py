@@ -27,20 +27,57 @@ def run_incremental(
     output_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    with_monitoring: bool = False,
 ) -> None:
-    """Process all new files under input_dir exactly once, then stop."""
+    """Process all new files under input_dir exactly once, then stop.
+
+    with_monitoring=True switches the sink to foreachBatch: each micro-batch
+    appends decisions AND its metric aggregates + threshold alerts — dqm's
+    per-tick transmit (ChannelStream.hpp:155-222) on streaming cadence.
+    Exactly-once still holds: foreachBatch replays are idempotent per
+    batch_id-derived run_id, and the checkpoint gates re-delivery.
+    """
+    import os
+
     reader = (
         spark.readStream.schema(SOURCE_FILES)
         .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
         .parquet(input_dir)
     )
     dec = decisions(reader, spark)
-    q = (
-        dec.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    if not with_monitoring:
+        q = (
+            dec.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        from ..operators.alerts import alerts as build_alerts
+        from ..operators.metrics import metrics as build_metrics
+
+        def sink(batch_df, batch_id: int) -> None:
+            run_id = f"stream-batch-{batch_id}"
+            batch_df.persist()
+            try:
+                batch_df.write.mode("append").parquet(
+                    os.path.join(output_dir, "decisions"))
+                met = build_metrics(batch_df, run_id)
+                met.persist()
+                met.write.mode("append").parquet(
+                    os.path.join(output_dir, "metrics"))
+                build_alerts(met, batch_df.sparkSession).write.mode(
+                    "append").parquet(os.path.join(output_dir, "alerts"))
+                met.unpersist()
+            finally:
+                batch_df.unpersist()
+
+        q = (
+            dec.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()

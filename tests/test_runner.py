@@ -94,3 +94,28 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 600
     assert out.select("path").distinct().count() == 600  # exactly-once
+
+
+def test_streaming_with_monitoring_sink(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "min")
+    out_dir = os.path.join(tmp, "mout")
+    os.makedirs(in_dir)
+    pdf = gen_pandas(300)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental(spark, in_dir, out_dir, os.path.join(tmp, "mckpt"),
+                    with_monitoring=True)
+    dec = spark.read.parquet(os.path.join(out_dir, "decisions"))
+    met = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert dec.count() == 300
+    assert met.count() > 0
+    assert met.select("run_id").distinct().count() == 1
+
+
+def test_iceberg_gate_falls_back(spark, tmp_path):
+    from dqm_spark.sources.iceberg import append, iceberg_available, read_table
+    assert iceberg_available(spark) in (False, True)  # probe never raises
+    p = os.path.join(str(tmp_path), "ice_fallback")
+    df = spark.createDataFrame(gen_pandas(50))
+    append(df, p)
+    assert read_table(spark, p).count() == 50
