@@ -29,10 +29,13 @@ def metrics(decisions_df: DataFrame, run_id: str) -> DataFrame:
         F.sum(F.array_contains("fired_rules", r).cast("long")).alias(f"__f_{r}")
         for r in C.ALL_RULES
     ]
-    # exact percentiles (deterministic — matches a single-process oracle,
-    # unlike approx_percentile); F.percentile skips nulls. The langid
-    # histogram pre-aggregates (lang, pred) counts first, so the collect_list
-    # that builds the map sees at most |langs|+1 entries per group.
+    # percentile_approx (KLL-style sketch, accuracy 10000 → rank error
+    # ≤ 0.01%): mergeable partial aggregation, bounded memory per group —
+    # the exact `percentile` would buffer every value of a group in one
+    # reducer, which does not survive 10^12-row groups. Deterministic for
+    # fixed input + accuracy. The langid histogram pre-aggregates
+    # (lang, pred) counts first, so the collect_list that builds the map
+    # sees at most |langs|+1 entries per group.
     base = decisions_df.groupBy("lang", "langid_pred").agg(
         F.count(F.lit(1)).alias("n")
     ).groupBy("lang").agg(
@@ -45,9 +48,9 @@ def metrics(decisions_df: DataFrame, run_id: str) -> DataFrame:
     ).join(
         decisions_df.groupBy("lang").agg(
             F.count(F.lit(1)).alias("rows_seen"),
-            F.percentile("perplexity", 0.5).alias("ppl_p50"),
-            F.percentile("perplexity", 0.9).alias("ppl_p90"),
-            F.percentile("perplexity", 0.99).alias("ppl_p99"),
+            F.percentile_approx("perplexity", 0.5, 10000).alias("ppl_p50"),
+            F.percentile_approx("perplexity", 0.9, 10000).alias("ppl_p90"),
+            F.percentile_approx("perplexity", 0.99, 10000).alias("ppl_p99"),
             *fired_sums,
         ),
         "lang",

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator: cumulative per-lang fire-rates with
+`applyInPandasWithState`.
+
+dqm keeps per-algorithm running counters across ticks (DQMInfo atomics,
+/root/reference/include/dqm/DQMFormats.hpp:28-43) and alerts when rates
+drift. The Structured-Streaming-native version holds (rows_seen,
+rows_fired) per lang in GroupState — checkpointed, so a restarted query
+resumes its counters exactly (the north_rule checkpoint-resume story for
+streaming monitors).
+
+Emits one row per (lang, micro-batch) with the *cumulative* rate and a
+`breached` flag against the alert threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ..config import ALERT_FIRE_RATE_DEFAULT
+
+OUTPUT_SCHEMA = StructType([
+    StructField("lang", StringType()),
+    StructField("rows_seen", LongType()),
+    StructField("rows_fired", LongType()),
+    StructField("fire_rate", DoubleType()),
+    StructField("breached", BooleanType()),
+])
+STATE_SCHEMA = StructType([
+    StructField("seen", LongType()),
+    StructField("fired", LongType()),
+])
+
+
+def _update(key: Any, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    seen, fired = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        seen += len(pdf)
+        fired += int(pdf["any_fired"].sum())
+    state.update((seen, fired))
+    rate = fired / seen if seen else 0.0
+    yield pd.DataFrame([{
+        "lang": key[0], "rows_seen": seen, "rows_fired": fired,
+        "fire_rate": rate,
+        "breached": rate > ALERT_FIRE_RATE_DEFAULT,
+    }])
+
+
+def running_fire_rates(decisions_stream: DataFrame) -> DataFrame:
+    """decisions stream → cumulative per-lang fire-rate stream."""
+    flagged = decisions_stream.withColumn(
+        "any_fired", F.size("fired_rules") > 0)
+    return (
+        flagged.groupBy("lang")
+        .applyInPandasWithState(
+            _update, OUTPUT_SCHEMA, STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -41,6 +41,9 @@ def test_metrics_shape_and_counts(setup):
 
 
 def test_metrics_ppl_percentiles(setup):
+    # percentile_approx (rank error ≤ n/accuracy) returns a real order
+    # statistic near the target quantile — assert it sits inside the exact
+    # [q-1%, q+1%] quantile band (scale note in operators/metrics.py)
     golden, _, met = setup
     for lang, g in golden.groupby("lang"):
         ppl = g["perplexity"].dropna().to_numpy(dtype=float)
@@ -49,8 +52,9 @@ def test_metrics_ppl_percentiles(setup):
             assert np.isnan(sub["ppl_p50"]) or sub["ppl_p50"] is None
             continue
         for q, col in [(50, "ppl_p50"), (90, "ppl_p90"), (99, "ppl_p99")]:
-            want = np.percentile(ppl, q)  # linear interpolation, same as Spark
-            assert abs(sub[col] - want) < 1e-9 * max(1.0, abs(want)), (lang, col)
+            lo = np.percentile(ppl, max(q - 1, 0))
+            hi = np.percentile(ppl, min(q + 1, 100))
+            assert lo - 1e-9 <= sub[col] <= hi + 1e-9, (lang, col)
 
 
 def test_metrics_langid_hist(setup):

@@ -1,0 +1,67 @@
+"""applyInPandasWithState: cumulative fire-rate counters survive restarts
+via the streaming checkpoint (dqm running-counters analog)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.pipeline import decisions
+from dqm_spark.schema import SOURCE_FILES
+from dqm_spark.streaming.stateful import running_fire_rates
+from dqm_spark.synth import gen_pandas
+
+
+def _drain(spark, in_dir, ckpt, out_dir):
+    reader = spark.readStream.schema(SOURCE_FILES).parquet(in_dir)
+    dec = decisions(reader, spark)
+    rates = running_fire_rates(dec)
+
+    def sink(batch_df, batch_id):  # memory sink can't recover checkpoints
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out_dir)
+
+    q = (
+        rates.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # cumulative view: latest batch per lang
+    df = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.desc("batch_id"),
+                                           F.desc("rows_seen"))
+    return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1") \
+        .drop("rn", "batch_id")
+
+
+@pytest.mark.parametrize("dummy", [0])
+def test_cumulative_state_across_restarts(spark, tmp_path, dummy):
+    tmp = str(tmp_path)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(in_dir)
+    pdf = gen_pandas(600)
+
+    spark.createDataFrame(pdf.iloc[:300]).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out1 = _drain(spark, in_dir, ckpt, os.path.join(tmp, "r1")).toPandas()
+    assert out1["rows_seen"].sum() == 300
+
+    # new files + a FRESH query restarted from the same checkpoint:
+    # counters must continue, not reset
+    spark.createDataFrame(pdf.iloc[300:]).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out2 = _drain(spark, in_dir, ckpt, os.path.join(tmp, "r2")).toPandas()
+    assert out2["rows_seen"].sum() == 600  # cumulative across restarts
+
+    # cumulative rate matches a batch recomputation over everything
+    full = decisions(spark.read.parquet(in_dir), spark).toPandas()
+    for _, r in out2.iterrows():
+        sub = full[full["lang"] == r["lang"]]
+        assert len(sub) == r["rows_seen"]
+        assert int((sub["fired_rules"].str.len() > 0).sum()) == r["rows_fired"]
