@@ -13,9 +13,13 @@ from pyspark.sql import functions as F
 from .. import config as C
 from .rules import fired_rules_col
 
-def with_decision(df: DataFrame, content: str = "content") -> DataFrame:
-    drop_set = F.array(*[F.lit(r) for r in C.DROP_RULES])
-    df = df.withColumn("fired_rules", fired_rules_col(content))
+def with_decision(df: DataFrame, content: str = "content",
+                  cfg=None) -> DataFrame:
+    from ..qfconfig import DEFAULT
+    cfg = cfg or DEFAULT
+    drop_set = F.array(*[F.lit(r) for r in cfg.drop_rules()]) \
+        if cfg.drop_rules() else F.array().cast("array<string>")
+    df = df.withColumn("fired_rules", fired_rules_col(content, cfg))
     return df.withColumn(
         "keep",
         F.size(F.array_intersect(F.col("fired_rules"), drop_set)) == 0,

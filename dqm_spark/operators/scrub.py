@@ -27,9 +27,11 @@ def scrubbed_col(content: Column) -> Column:
 
 
 def with_scrub(df: DataFrame, content: str = "content",
-               keep: str = "keep") -> DataFrame:
+               keep: str = "keep", cfg=None) -> DataFrame:
+    from ..qfconfig import DEFAULT
+    cfg = cfg or DEFAULT
+    out = scrubbed_col(F.col(content)) if cfg.enable_scrub else F.col(content)
     # two steps so the regex chain is evaluated once, not re-inlined
     # under sha2 (Catalyst inlines expressions referenced by alias)
-    df = df.withColumn(
-        "scrubbed_content", F.when(F.col(keep), scrubbed_col(F.col(content))))
+    df = df.withColumn("scrubbed_content", F.when(F.col(keep), out))
     return df.withColumn("content_sha256", F.sha2("scrubbed_content", 256))

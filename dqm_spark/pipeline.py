@@ -22,18 +22,33 @@ from .operators.scrub import with_scrub
 from .schema import DECISION_COLS
 
 
-def decisions(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """source_files DataFrame → decisions DataFrame (FIXTURES.md §2)."""
+def decisions(df: DataFrame, spark: SparkSession, cfg=None) -> DataFrame:
+    """source_files DataFrame → decisions DataFrame (FIXTURES.md §2).
+
+    cfg (qfconfig.QFConfig) enables/disables rules, moves thresholds, and
+    can skip the Arrow scorer pass entirely (dqm's per-module config)."""
+    from pyspark.sql import functions as F
+
+    from .qfconfig import DEFAULT
+    cfg = cfg or DEFAULT
     df = with_features(df)
-    df = with_scores(df, spark)
-    df = with_decision(df)
-    df = with_scrub(df)
+    if cfg.enable_scoring:
+        df = with_scores(df, spark)
+    else:
+        df = df.withColumns({
+            "langid_pred": F.lit(None).cast("string"),
+            "langid_conf": F.lit(None).cast("double"),
+            "perplexity": F.lit(None).cast("double"),
+        })
+    df = with_decision(df, cfg=cfg)
+    df = with_scrub(df, cfg=cfg)
     return df.select(*DECISION_COLS)
 
 
-def decisions_with_diagnostics(df: DataFrame, spark: SparkSession) -> DataFrame:
+def decisions_with_diagnostics(df: DataFrame, spark: SparkSession,
+                               cfg=None) -> DataFrame:
     """Same, but keeps the feature columns (for metrics/debugging)."""
     df = with_features(df)
     df = with_scores(df, spark)
-    df = with_decision(df)
-    return with_scrub(df)
+    df = with_decision(df, cfg=cfg)
+    return with_scrub(df, cfg=cfg)

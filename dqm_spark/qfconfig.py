@@ -1,0 +1,39 @@
+"""Run-time pipeline configuration — the dqm `Conf` schema analog
+(/root/reference/schema/dqm/dqmprocessor.jsonnet:35-64: per-module enable
+flags `raw/rms/std/fourier_*` + numeric knobs), as a frozen dataclass.
+
+Defaults reproduce config.py exactly, so the default pipeline stays
+byte-identical to the golden reference implementation; overrides let a
+user enable/disable rules (dqm enables/disables modules) and move
+thresholds without touching code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import config as C
+
+
+@dataclass(frozen=True)
+class QFConfig:
+    max_line_len: int = C.MAX_LINE_LEN
+    mean_line_len: float = C.MEAN_LINE_LEN
+    alnum_ratio_min: float = C.ALNUM_RATIO_MIN
+    langid_conf_min: float = C.LANGID_CONF_MIN
+    ppl_lo: float = C.PPL_LO
+    ppl_hi: float = C.PPL_HI
+    # dqm module-enable flags analog: rules not listed never fire
+    enabled_rules: tuple[str, ...] = C.ALL_RULES
+    # disable to skip the Arrow scorer pass entirely (cheap native-only
+    # mode — dqm's "raw only" configuration); langid/ppl columns are null
+    # and their rules cannot fire
+    enable_scoring: bool = True
+    # disable to pass kept content through unscrubbed
+    enable_scrub: bool = True
+
+    def drop_rules(self) -> tuple[str, ...]:
+        return tuple(r for r in C.DROP_RULES if r in self.enabled_rules)
+
+
+DEFAULT = QFConfig()
