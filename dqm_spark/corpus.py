@@ -1,0 +1,73 @@
+"""End-to-end training-corpus preparation: the composed pipeline a user of
+the reference would actually run at 100 TB.
+
+    prepare_corpus(source_files) =
+        exact dedup (md5 winner-takes-min)
+        → near dedup (minhash-LSH, O(N) bucket-min)
+        → quality filter (rules + scorers + decision)
+        → scrubbed kept rows + decisions + metrics + alerts
+
+Each stage is independently available (operators/*); this module pins the
+composition order — dedup BEFORE scoring, so model/scrub cost is paid only
+for surviving rows (predicate-before-compute, SURVEY.md §4) — and returns
+every artifact for audit.
+
+Behavior note: minhash near-dedup over char-trigram SETS is aggressive on
+templated corpora (files drawn from shared boilerplate collapse to one
+representative — observed ~87% collapse on the pool-sampled synthetic
+table, which is the intended outcome for generated-looking content at web
+scale). Pass near_dedup=False to keep only byte-exact dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.alerts import alerts as build_alerts
+from .operators.dedup import exact_duplicates, minhash_dedup
+from .operators.metrics import metrics as build_metrics
+from .pipeline import decisions as build_decisions
+from .qfconfig import QFConfig
+
+
+@dataclass
+class CorpusResult:
+    kept: DataFrame        # scrubbed survivors: repo,path,commit,lang,scrubbed_content,content_sha256
+    decisions: DataFrame   # full decision table for surviving-dedup rows
+    dedup_audit: DataFrame # path -> (exact_dup, near_dup) flags
+    metrics: DataFrame
+    alerts: DataFrame
+
+
+def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
+                   cfg: QFConfig | None = None,
+                   near_dedup: bool = True) -> CorpusResult:
+    keyed = df.withColumn(
+        "__id", F.xxhash64("repo", "path", "commit"))
+
+    exact = exact_duplicates(keyed, "content", "__id").select(
+        F.col("__id"), F.col("is_duplicate").alias("exact_dup"))
+    audit = exact
+    if near_dedup:
+        near = minhash_dedup(keyed, "content", "__id").select(
+            F.col("__id"), F.col("is_duplicate").alias("near_dup"))
+        audit = exact.join(near, "__id")
+        survivors_ids = audit.filter(~F.col("exact_dup") & ~F.col("near_dup"))
+    else:
+        audit = exact.withColumn("near_dup", F.lit(False))
+        survivors_ids = audit.filter(~F.col("exact_dup"))
+
+    survivors = keyed.join(survivors_ids.select("__id"), "__id")
+    dec = build_decisions(survivors.drop("__id"), spark, cfg)
+    met = build_metrics(dec, run_id)
+    al = build_alerts(met, spark)
+    kept = dec.filter(F.col("keep")).select(
+        "repo", "path", "commit", "lang",
+        "scrubbed_content", "content_sha256")
+    dedup_audit = keyed.select("repo", "path", "commit", "__id") \
+        .join(audit, "__id").drop("__id")
+    return CorpusResult(kept=kept, decisions=dec, dedup_audit=dedup_audit,
+                        metrics=met, alerts=al)

@@ -1,0 +1,54 @@
+"""Composed corpus-preparation pipeline: dedup → filter → scrub."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.corpus import prepare_corpus
+from dqm_spark.synth import gen_pandas
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    pdf = gen_pandas(800)
+    # plant exact + near duplicates of row 0's content
+    dup = pdf.iloc[[0]].copy()
+    dup["path"] = "src/dup/exact_copy.py"
+    near = pdf.iloc[[0]].copy()
+    near["path"] = "src/dup/near_copy.py"
+    near["content"] = near["content"].str.replace("import", "himport", n=1)
+    pdf = pd.concat([pdf, dup, near], ignore_index=True)
+    return prepare_corpus(spark.createDataFrame(pdf), spark), pdf
+
+
+def test_dedup_audit_flags(result):
+    res, pdf = result
+    audit = res.dedup_audit.toPandas().set_index("path")
+    assert len(audit) == len(pdf)
+    planted = audit.loc[["src/dup/exact_copy.py", "src/dup/near_copy.py",
+                         pdf.iloc[0]["path"]]]
+    # {original, exact copy} share bytes → at most one of them survives as
+    # canonical (pool-sampled content can also collide with other rows, so
+    # ≥1, not ==1); the near copy must be flagged by minhash
+    assert planted["exact_dup"].sum() >= 1
+    assert planted.loc["src/dup/near_copy.py", "near_dup"]
+    assert planted["near_dup"].sum() >= 2  # exact copies are also near-dups
+
+
+def test_survivors_are_unique_and_filtered(result):
+    res, pdf = result
+    dec = res.decisions.toPandas()
+    audit = res.dedup_audit.toPandas()
+    n_survivors = int((~audit["exact_dup"] & ~audit["near_dup"]).sum())
+    assert len(dec) == n_survivors
+    kept = res.kept.toPandas()
+    assert kept["scrubbed_content"].notna().all()
+    assert len(kept) == int(dec["keep"].sum())
+
+
+def test_monitoring_artifacts(result):
+    res, _ = result
+    assert res.metrics.count() > 0
+    assert res.alerts.count() >= 0
