@@ -22,6 +22,18 @@ from .operators.scrub import with_scrub
 from .schema import DECISION_COLS
 
 
+_REQUIRED_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def _validate_input(df: DataFrame) -> None:
+    missing = [c for c in _REQUIRED_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source_files input is missing column(s) {missing}; "
+            f"expected {list(_REQUIRED_COLS)} (schema.SOURCE_FILES), "
+            f"got {df.columns}")
+
+
 def decisions(df: DataFrame, spark: SparkSession, cfg=None) -> DataFrame:
     """source_files DataFrame → decisions DataFrame (FIXTURES.md §2).
 
@@ -31,6 +43,7 @@ def decisions(df: DataFrame, spark: SparkSession, cfg=None) -> DataFrame:
 
     from .qfconfig import DEFAULT
     cfg = cfg or DEFAULT
+    _validate_input(df)
     df = with_features(df)
     if cfg.enable_scoring:
         df = with_scores(df, spark)

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure model layer.
+
+The properties that make Arrow batching safe:
+* batch-invariance — scoring rows together == scoring them alone, so
+  Spark's arbitrary batch boundaries cannot change results;
+* determinism across calls;
+* prefix truncation consistency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dqm_spark.models.langid import get_weights, predict_batch
+from dqm_spark.models.ngram import trigram_features
+from dqm_spark.models.perplexity import get_log_probs, perplexity_batch
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    min_size=0, max_size=300,
+)
+_texts = st.lists(_text, min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_trigram_features_invariants(texts):
+    h, rid, counts = trigram_features(texts)
+    assert counts.sum() == h.size == rid.size
+    assert len(counts) == len(texts)
+    if h.size:
+        assert h.min() >= 0 and h.max() < 2 ** 15
+        assert (np.diff(rid) >= 0).all()          # row ids non-decreasing
+    # rows shorter than 3 *bytes* can't produce trigrams
+    for i, t in enumerate(texts):
+        if len(t.encode("utf-8", "replace")) < 3:
+            assert counts[i] == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts)
+def test_batch_invariance(texts):
+    """Scoring a batch == scoring each row alone (Arrow-boundary safety)."""
+    w, lp = get_weights(), get_log_probs()
+    pred_b, conf_b = predict_batch(texts, w)
+    ppl_b = perplexity_batch(texts, lp)
+    for i, t in enumerate(texts):
+        pred_1, conf_1 = predict_batch([t], w)
+        ppl_1 = perplexity_batch([t], lp)
+        assert pred_b[i] == pred_1[0]
+        assert (np.isnan(conf_b[i]) and np.isnan(conf_1[0])) \
+            or conf_b[i] == conf_1[0]
+        assert (np.isnan(ppl_b[i]) and np.isnan(ppl_1[0])) \
+            or ppl_b[i] == ppl_1[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(_text)
+def test_determinism(t):
+    a = perplexity_batch([t])
+    b = perplexity_batch([t])
+    assert (np.isnan(a[0]) and np.isnan(b[0])) or a[0] == b[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(_text)
+def test_scrub_idempotent_on_clean_output(t):
+    """Scrubbing twice == scrubbing once for the replacement vocabulary
+    (placeholders never re-match the PII patterns)."""
+    from dqm_spark.scrub_spec import scrub_text_py
+    once = scrub_text_py(t)
+    assert scrub_text_py(once) == once
