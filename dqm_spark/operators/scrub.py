@@ -20,6 +20,10 @@ from ..scrub_spec import SCRUB_RULES
 
 
 def scrubbed_col(content: Column) -> Column:
+    # Plain sequential chain. A contains()-guarded variant (skip the regex
+    # when the mandatory literal is absent) was measured SLOWER here: the
+    # when/otherwise duplicates the accumulated chain subtree 3x per stage
+    # and Catalyst does not CSE it away (1.1s vs 0.9s on 60k x 1.4KB rows).
     out = content
     for rule in SCRUB_RULES:
         out = F.regexp_replace(out, rule.java_pattern, rule.java_repl)

@@ -27,6 +27,11 @@ class ScrubRule:
     py_pattern: str     # for re.sub
     java_repl: str      # $1-style group refs
     py_repl: str        # \1-style group refs
+    # Optional literal that the pattern PROVABLY requires (a mandatory
+    # literal substring): the JVM chain guards the regex behind a cheap
+    # contains() so non-matching rows skip the regex scan entirely.
+    # Byte-exactness is preserved because pattern-match ⇒ literal present.
+    guard_literal: str | None = None
 
 
 # Toxic vocabulary is a tiny fixed demo list (real deployments broadcast a
@@ -40,6 +45,7 @@ SCRUB_RULES: tuple[ScrubRule, ...] = (
         py_pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         java_repl="<EMAIL>",
         py_repl="<EMAIL>",
+        guard_literal="@",
     ),
     ScrubRule(
         name="ipv4",
@@ -54,6 +60,7 @@ SCRUB_RULES: tuple[ScrubRule, ...] = (
         py_pattern=r"\bAKIA[0-9A-Z]{16}\b",
         java_repl="<AWS_KEY>",
         py_repl="<AWS_KEY>",
+        guard_literal="AKIA",
     ),
     ScrubRule(
         # api_key = "...."  /  secret: '....'  — keeps the key name, drops value

@@ -1,0 +1,44 @@
+"""Event-time windowed aggregation with watermarking.
+
+The reference is wall-clock scheduled (no event time, SURVEY.md §2.9), but
+an engine its users switch to needs late-data-correct streaming
+aggregates: tumbling event-time windows with a watermark bound on state,
+producing the same per-window stats the batch monitors compute
+(mean/std/rms — the dqm monitor set over time buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(events: DataFrame, ts: str = "ts",
+                         key: str = "event_type", value: str = "value",
+                         window: str = "1 day",
+                         watermark: str = "2 days") -> DataFrame:
+    """Streaming (or batch) DataFrame of per-(window, key) monitor stats.
+
+    With a streaming input, the watermark bounds state: windows older than
+    max(event time) - watermark are finalized and dropped; late rows inside
+    the bound still update their window (append mode emits only finalized
+    windows — exactly-once per window)."""
+    v = F.col(value)
+    # watermarks require TIMESTAMP (tz-aware); parquet often yields NTZ —
+    # session TZ is pinned UTC so the cast is wall-clock preserving
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    src = events.withWatermark(ts, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts, window).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(v).alias("mean_value"),
+            F.stddev_samp(v).alias("std_value"),
+            F.sqrt(F.avg(v * v)).alias("rms_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key, "n", "mean_value", "std_value", "rms_value",
+        )
+    )
