@@ -1,0 +1,41 @@
+"""Skew-safe grouped top-k.
+
+A plain `row_number() OVER (PARTITION BY group)` sends every row of a
+group through one reducer — the monorepo problem again, but for ranking.
+The two-stage form ranks within (group, salt) first, keeping only k rows
+per salt bucket, so the final per-group rank sees at most k × buckets
+rows regardless of group size. Identical results to the single-stage
+window (top-k is a monoid under merge), verified against the window-SQL
+oracle (`source_topk_salted`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SALT_BUCKETS
+
+
+def grouped_topk(df: DataFrame, group: str, order: list[Column], k: int,
+                 salt_col: str | None = None,
+                 buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Top-k rows per `group` by `order` (use F.desc(...)/F.asc(...) with a
+    unique tiebreaker for determinism). salt_col: any fine-grained column;
+    defaults to a row hash of all columns."""
+    salt = (
+        F.pmod(F.xxhash64(salt_col), F.lit(buckets)) if salt_col
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(buckets))
+    )
+    pruned = (
+        df.withColumn("__r1", F.row_number().over(
+            Window.partitionBy(group, salt).orderBy(*order)))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(group).orderBy(*order)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

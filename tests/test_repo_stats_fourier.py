@@ -100,3 +100,22 @@ def test_fft_linearity_plane_sum(spark):
     lhs = np.fft.rfft(a + b)
     rhs = np.fft.rfft(a) + np.fft.rfft(b)
     assert np.allclose(lhs, rhs)
+
+
+def test_grouped_topk_matches_plain_window(spark, feats):
+    from pyspark.sql import Window
+    from dqm_spark.operators.topk import grouped_topk
+    df, _ = feats
+    got = grouped_topk(
+        df, "repo", [F.desc("char_len"), F.asc("path")], k=5,
+        salt_col="path",
+    ).select("repo", "path", "rnk").toPandas() \
+        .sort_values(["repo", "rnk"]).reset_index(drop=True)
+    w = Window.partitionBy("repo").orderBy(F.desc("char_len"), F.asc("path"))
+    want = (
+        df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("repo", "path", "rnk").toPandas()
+        .sort_values(["repo", "rnk"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
