@@ -30,6 +30,20 @@ def scrubbed_col(content: Column) -> Column:
     return out
 
 
+def pii_hit_counts(df: DataFrame, content: str = "content") -> DataFrame:
+    """Per-row PII/toxicity hit counts, one `n_<rule>` column per scrub
+    rule (JVM-side regexp_count, whole-stage codegen). This is the metrics
+    profile of what the scrub chain WOULD rewrite — counts are measured
+    against the ORIGINAL text per rule (the chain itself applies rules
+    sequentially, so a later rule sees earlier rewrites; for the disjoint
+    pattern set in scrub_spec the counts coincide)."""
+    c = F.col(content)
+    return df.withColumns({
+        f"n_{r.name}": F.regexp_count(c, F.lit(r.java_pattern))
+        for r in SCRUB_RULES
+    })
+
+
 def with_scrub(df: DataFrame, content: str = "content",
                keep: str = "keep", cfg=None) -> DataFrame:
     from ..qfconfig import DEFAULT

@@ -51,6 +51,77 @@ def with_fingerprint(df: DataFrame, content: str = "content") -> DataFrame:
     })
 
 
+def repetition_stats(df: DataFrame, content: str = "content",
+                     id_col: str = "doc_id", unit: str = "line") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-unit counts
+    over lines (`unit='line'`) or whitespace words (`unit='word'`).
+
+    The dqm analog is the per-channel fill-then-finalize accumulator pass
+    (/root/reference/include/dqm/ChannelStream.hpp:140-146) — here the
+    "channel" is the distinct line/word within a doc. Two hash aggregations
+    with map-side partial combine; group key (id, unit) is high-cardinality
+    and unskewed, so this survives a 100x scale-up without salting.
+
+    Outputs are integers only (counts and char totals, no ratios), so
+    distributed results are bit-comparable to any oracle — callers derive
+    the Gopher fractions (dup_units/n_units, dup_unit_chars/
+    total_unit_chars, top_unit_cnt/n_units) as a cheap final projection.
+    Empty units are excluded; a doc with no non-empty units yields no row.
+    """
+    if unit not in ("line", "word"):
+        raise ValueError(f"unit must be 'line' or 'word', got {unit!r}")
+    c = F.col(content)
+    arr = (T.lines(c) if unit == "line"
+           else F.split(F.trim(c), f"{T.WHITESPACE_CLASS}+"))
+    ex = (
+        df.select(F.col(id_col), F.explode(arr).alias("u"))
+        .filter(F.col("u") != "")
+    )
+    per_unit = (
+        ex.groupBy(id_col, "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("ln", F.length("u").cast("long"))
+    )
+    dup = F.col("c") > 1
+    return per_unit.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_units"),
+        F.count(F.lit(1)).alias("n_distinct_units"),
+        F.sum(F.when(dup, F.col("c")).otherwise(0)).cast("long")
+        .alias("dup_units"),
+        F.sum(F.when(dup, F.col("c") * F.col("ln")).otherwise(0))
+        .cast("long").alias("dup_unit_chars"),
+        F.sum(F.col("c") * F.col("ln")).cast("long")
+        .alias("total_unit_chars"),
+        F.max("c").cast("long").alias("top_unit_cnt"),
+    )
+
+
+def top_bigram_stats(df: DataFrame, content: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-bigram repetition (the Gopher top-2-gram fraction's integer
+    inputs): per doc, total bigram count and the most frequent bigram's
+    count. Bigrams are built array-natively (slice + zip_with — no per-doc
+    window sort, no Python crossing), then counted with two hash aggs.
+    Docs with fewer than two tokens yield no row."""
+    c = F.trim(F.col(content))
+    toks = F.split(c, f"{T.WHITESPACE_CLASS}+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = (
+        df.filter((c != "") & (n >= 2))
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    )
+    per = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_cnt"),
+    )
+
+
 def with_langid_heuristic(df: DataFrame, spark, content: str = "content") -> DataFrame:
     """n-gram language-ID over arbitrary text (the models-layer scorer)."""
     from .scoring import make_score_udf
