@@ -16,7 +16,11 @@ Behavior note: minhash near-dedup over char-trigram SETS is aggressive on
 templated corpora (files drawn from shared boilerplate collapse to one
 representative — observed ~87% collapse on the pool-sampled synthetic
 table, which is the intended outcome for generated-looking content at web
-scale). Pass near_dedup=False to keep only byte-exact dedup.
+scale). Pass near_dedup=False to keep only byte-exact dedup. The optional
+repetition filter behaves the same way on the pool-sampled table (clean
+strata reuse pool lines in-doc, so ~2/3 of synthetic docs exceed a 0.5
+duplicate-line-char fraction); on real corpora the flag isolates
+boilerplate/log-like files.
 """
 
 from __future__ import annotations
@@ -37,14 +41,21 @@ from .qfconfig import QFConfig
 class CorpusResult:
     kept: DataFrame        # scrubbed survivors: repo,path,commit,lang,scrubbed_content,content_sha256
     decisions: DataFrame   # full decision table for surviving-dedup rows
-    dedup_audit: DataFrame # path -> (exact_dup, near_dup) flags
+    dedup_audit: DataFrame # path -> (exact_dup, near_dup, repetitive) flags
     metrics: DataFrame
     alerts: DataFrame
 
 
 def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    cfg: QFConfig | None = None,
-                   near_dedup: bool = True) -> CorpusResult:
+                   near_dedup: bool = True,
+                   repetition_filter: bool = False,
+                   max_dup_line_char_frac: float = 0.5) -> CorpusResult:
+    """repetition_filter adds a Gopher-style stage: drop docs whose
+    duplicate-line character fraction exceeds max_dup_line_char_frac
+    (textstats.repetition_stats). OFF by default — the default composition
+    must reproduce the reference's keep/drop labels exactly (F1 invariant);
+    repetition is a training-data extension on top."""
     keyed = df.withColumn(
         "__id", F.xxhash64("repo", "path", "commit"))
 
@@ -55,10 +66,26 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
         near = minhash_dedup(keyed, "content", "__id").select(
             F.col("__id"), F.col("is_duplicate").alias("near_dup"))
         audit = exact.join(near, "__id")
-        survivors_ids = audit.filter(~F.col("exact_dup") & ~F.col("near_dup"))
     else:
         audit = exact.withColumn("near_dup", F.lit(False))
-        survivors_ids = audit.filter(~F.col("exact_dup"))
+
+    if repetition_filter:
+        from .operators.textstats import repetition_stats
+        rep = repetition_stats(keyed, "content", "__id", unit="line")
+        # left join: docs with no non-empty lines produce no rep row and
+        # are NOT repetitive (the empty_content rule owns them downstream)
+        rep_flag = rep.select(
+            "__id",
+            (F.col("dup_unit_chars")
+             > F.col("total_unit_chars") * max_dup_line_char_frac)
+            .alias("repetitive"))
+        audit = audit.join(rep_flag, "__id", "left").withColumn(
+            "repetitive", F.coalesce("repetitive", F.lit(False)))
+    else:
+        audit = audit.withColumn("repetitive", F.lit(False))
+
+    survivors_ids = audit.filter(
+        ~F.col("exact_dup") & ~F.col("near_dup") & ~F.col("repetitive"))
 
     survivors = keyed.join(survivors_ids.select("__id"), "__id")
     dec = build_decisions(survivors.drop("__id"), spark, cfg)

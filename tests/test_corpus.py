@@ -52,3 +52,26 @@ def test_monitoring_artifacts(result):
     res, _ = result
     assert res.metrics.count() > 0
     assert res.alerts.count() >= 0
+
+
+def test_repetition_filter_drops_planted_low_entropy(spark):
+    pdf = gen_pandas(600, with_stratum=True)
+    src = spark.createDataFrame(pdf.drop(columns=["stratum"]))
+    res = prepare_corpus(src, spark, near_dedup=False,
+                         repetition_filter=True)
+    audit = res.dedup_audit.toPandas().set_index("path")
+    strata = pdf.set_index("path")["stratum"]
+    rep_paths = set(audit[audit["repetitive"]].index)
+    low_entropy = set(strata[strata == "low_entropy"].index)
+    assert low_entropy, "synth must plant low_entropy rows at n=600"
+    # every planted one-line-repeated-50x doc is flagged repetitive
+    assert low_entropy <= rep_paths
+    # flagged docs never reach decisions/kept
+    dec_paths = set(res.decisions.select("path").toPandas()["path"])
+    assert not (rep_paths & dec_paths)
+
+
+def test_repetition_filter_off_by_default(result):
+    res, _ = result
+    audit = res.dedup_audit.toPandas()
+    assert not audit["repetitive"].any()
