@@ -67,6 +67,13 @@ def repetition_stats(df: DataFrame, content: str = "content",
     the Gopher fractions (dup_units/n_units, dup_unit_chars/
     total_unit_chars, top_unit_cnt/n_units) as a cheap final projection.
     Empty units are excluded; a doc with no non-empty units yields no row.
+
+    Plan choice, measured: a zero-shuffle row-local variant (array_sort +
+    F.aggregate fold with a struct accumulator) was 6x SLOWER at 60k x
+    1.4KB docs (8.7s vs 1.5s, local[8]) — higher-order aggregate folds are
+    interpreted per element, while explode + two hash aggs run entirely in
+    whole-stage codegen and the map-side partial combine keeps the shuffle
+    bounded by distinct-units-per-partition.
     """
     if unit not in ("line", "word"):
         raise ValueError(f"unit must be 'line' or 'word', got {unit!r}")

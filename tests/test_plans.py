@@ -57,3 +57,22 @@ def test_no_row_python_udfs_anywhere(spark):
     for name, fn in em.queries().items():
         df = fn(spark, SF)
         assert "BatchEvalPython" not in plan_string(df), name
+
+
+def test_repetition_operators_two_exchange_budget(spark):
+    """repetition/bigram stats must stay at exactly the two hash-agg
+    shuffles (explode → groupBy(id,unit) → groupBy(id)) with map-side
+    partial combine — no extra exchange sneaking in."""
+    import __spark_entry__ as em
+    for q in (em.q_doc_repetition_words, em.q_doc_top_bigrams):
+        df = q(spark, SF)
+        assert_plan(df, max_exchanges=2)
+        # partial+final split present at BOTH agg levels (map-side combine)
+        s = plan_string(df)
+        assert s.count("partial_sum") >= 1 and "partial_count" in s, q.__name__
+
+
+def test_pii_counts_single_agg_exchange(spark):
+    import __spark_entry__ as em
+    df = em.q_doc_pii_counts(spark, SF)
+    assert_plan(df, max_exchanges=1)
