@@ -1,0 +1,38 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent on partitioning and Spark version — at
+100 TB a re-run after a lost stage would sample different rows. Hash
+sampling (keep iff md5(key) mod D < K) is reproducible byte-for-byte
+across runs, partitionings, engines, and retries, which also makes it the
+only sampling the DuckDB oracle can verify exactly. The dqm analog is the
+deterministic frame cap pushed into the scan (max_frames,
+/root/reference/include/dqm/Decoder.hpp:57-60) — a reproducible subset,
+not an RNG.
+
+Fully codegen'd (md5 + conv are JVM built-ins): a filter that composes
+with scan pruning, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample_col(key: Column, pct: int, denom: int = 100,
+                    salt: str = "") -> Column:
+    """Boolean: row is in the deterministic pct/denom sample.
+
+    Uses the first 8 hex chars of md5(salt || key) as a uniform 32-bit
+    integer. Change `salt` to draw an independent sample from the same
+    table (e.g. train/holdout splits with disjoint salts).
+    """
+    if not (0 <= pct <= denom):
+        raise ValueError(f"pct must be in [0, {denom}], got {pct}")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
+    return (h.cast("long") % denom) < pct
+
+
+def deterministic_sample(df: DataFrame, key: Column, pct: int,
+                         denom: int = 100, salt: str = "") -> DataFrame:
+    return df.filter(hash_sample_col(key, pct, denom, salt))

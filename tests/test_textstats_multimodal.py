@@ -161,3 +161,26 @@ def test_pii_hit_counts_on_planted_synth(spark):
         assert out[f"n_{r.name}"].tolist() == want.tolist(), r.name
         total_hits += int(want.sum())
     assert total_hits > 0  # planted PII is actually present
+
+
+def test_deterministic_sample_properties(spark):
+    from dqm_spark.operators.sampling import deterministic_sample
+    import pytest as _pt
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    key = F.col("k")
+    a = deterministic_sample(df, key, pct=10)
+    n = a.count()
+    assert 0.07 * 20000 < n < 0.13 * 20000       # ~10%, hash-uniform
+    # reproducible: same rows on a second evaluation with shuffled layout
+    b = deterministic_sample(df.repartition(13), key, pct=10)
+    assert sorted(r.k for r in a.collect()) == sorted(r.k for r in b.collect())
+    # nested property: pct=5 sample is a subset of pct=10 (same salt)
+    c = set(r.k for r in deterministic_sample(df, key, pct=5).collect())
+    assert c <= set(r.k for r in a.collect())
+    # disjoint salts draw (nearly) independent samples
+    d = set(r.k for r in
+            deterministic_sample(df, key, pct=10, salt="holdout").collect())
+    overlap = len(c & d) / max(len(c), 1)
+    assert overlap < 0.25
+    with _pt.raises(ValueError):
+        deterministic_sample(df, key, pct=101)
