@@ -237,6 +237,68 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
     return _bucket_min_dedup(df, id_col, "bands")
 
 
+def cross_doc_line_dedup(df: DataFrame, content: str, id_col: str,
+                         min_len: int = 20) -> DataFrame:
+    """Sequence-level dedup across the corpus (Lee et al. 2021 style):
+    every line of length ≥ min_len that occurs in more than one place is
+    kept only at its FIRST occurrence (smallest (doc, position)); all
+    other occurrences are removed and the documents are reassembled.
+    Short lines (< min_len: blanks, braces, boilerplate tokens) are never
+    touched — dropping them would mangle code structure.
+
+    Returns (id, n_lines_kept, n_lines_dropped, dedup_content,
+    dedup_sha) — one row per doc that retains ≥1 line.
+
+    Scale shape: winner election is a two-stage hash agg
+    (groupBy(line).agg(min(struct(id, pos)))) — map-side partial combine
+    collapses hot boilerplate lines per partition, so a line occurring
+    10^9 times costs each partition one record in the shuffle, where a
+    window row_number() over the same key would sort the full 10^9-row
+    partition (skew-unsafe). The join back is on the line value (Spark
+    hashes it internally; no 64-bit-collision risk of a hash-key join).
+    """
+    pos_doc = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "u"),
+    )
+    dedupable = F.length("u") >= min_len
+    winners = (
+        pos_doc.filter(dedupable)
+        .groupBy("u")
+        .agg(F.min(F.struct(F.col(id_col).alias("id"),
+                            F.col("pos").alias("pos"))).alias("w"),
+             F.count(F.lit(1)).alias("occ"))
+    )
+    joined = pos_doc.join(winners, "u", "left")
+    kept = joined.filter(
+        ~dedupable
+        | ((F.col("w.id") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                    lambda s: s["u"]),
+            ).alias("dedup_content"),
+        )
+        .join(df.select(F.col(id_col),
+                        F.size(F.split(F.col(content), "\n"))
+                        .alias("__n_orig")), id_col)
+        .select(
+            F.col(id_col),
+            "n_lines_kept",
+            (F.col("__n_orig") - F.col("n_lines_kept"))
+            .cast("long").alias("n_lines_dropped"),
+            "dedup_content",
+            F.sha2("dedup_content", 256).alias("dedup_sha"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard (verification / standalone)
 # ---------------------------------------------------------------------------

@@ -79,3 +79,27 @@ def test_jaccard_hand_computed(spark):
     pairs = spark.createDataFrame(pd.DataFrame({"a": ["abcd"], "b": ["abce"]}))
     out = with_jaccard(pairs, "a", "b").toPandas()
     assert abs(out["jaccard"][0] - 1 / 3) < 1e-12
+
+
+def test_cross_doc_line_dedup_semantics(spark):
+    from dqm_spark.operators.dedup import cross_doc_line_dedup
+    import pandas as pd
+    long_dup = "this line is definitely longer than twenty chars"
+    short_dup = "x = 1"
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        f"{long_dup}\nunique zero line that is long enough\n{short_dup}",
+        f"{short_dup}\n{long_dup}\nunique one line that is long enough",
+        f"{long_dup}\n{long_dup}",
+    ]})
+    out = (cross_doc_line_dedup(spark.createDataFrame(docs), "text",
+                                "doc_id", min_len=20)
+           .toPandas().set_index("doc_id").sort_index())
+    # doc 0 wins the duplicated long line (first occurrence), keeps all 3
+    assert out.loc[0, "n_lines_kept"] == 3 and out.loc[0, "n_lines_dropped"] == 0
+    assert out.loc[0, "dedup_content"] == docs.loc[0, "text"]
+    # doc 1 loses only the long dup; the short dup is untouched
+    assert out.loc[1, "n_lines_kept"] == 2
+    assert out.loc[1, "dedup_content"] == \
+        f"{short_dup}\nunique one line that is long enough"
+    # doc 2 was ONLY duplicated long lines -> loses everything, no row
+    assert 2 not in out.index
