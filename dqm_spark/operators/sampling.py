@@ -36,3 +36,22 @@ def hash_sample_col(key: Column, pct: int, denom: int = 100,
 def deterministic_sample(df: DataFrame, key: Column, pct: int,
                          denom: int = 100, salt: str = "") -> DataFrame:
     return df.filter(hash_sample_col(key, pct, denom, salt))
+
+
+def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],
+                   stratum_col: str = "lang", denom: int = 100,
+                   salt: str = "") -> DataFrame:
+    """Down-sample each stratum at its own deterministic rate — the
+    training-mixture composition step (e.g. {'en': 100, 'de': 50,
+    'unknown': 5} keeps all English, half of German, 5% of unknown).
+    Strata absent from `weights` are dropped entirely. Same md5 keep rule
+    as deterministic_sample, so mixtures are reproducible and nested
+    across weight changes; still one codegen'd filter, no shuffle."""
+    for v in weights.values():
+        if not (0 <= v <= denom):
+            raise ValueError(f"weights must be in [0, {denom}], got {v}")
+    pct = F.lit(-1)
+    for stratum, w in sorted(weights.items()):
+        pct = F.when(F.col(stratum_col) == stratum, F.lit(w)).otherwise(pct)
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
+    return df.filter((h.cast("long") % denom) < pct)

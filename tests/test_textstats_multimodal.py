@@ -184,3 +184,19 @@ def test_deterministic_sample_properties(spark):
     assert overlap < 0.25
     with _pt.raises(ValueError):
         deterministic_sample(df, key, pct=101)
+
+
+def test_mixture_sample_rates_and_exclusion(spark):
+    from dqm_spark.operators.sampling import mixture_sample
+    import pytest as _pt
+    df = (spark.range(30000)
+          .select(F.col("id").cast("string").alias("k"),
+                  F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("xx")),
+                               (F.col("id") % 3 + 1).cast("int")).alias("lang")))
+    out = (mixture_sample(df, F.col("k"), {"en": 100, "de": 20})
+           .groupBy("lang").count().toPandas().set_index("lang")["count"])
+    assert out["en"] == 10000                  # 100% kept
+    assert 0.15 * 10000 < out["de"] < 0.25 * 10000
+    assert "xx" not in out.index               # absent stratum dropped
+    with _pt.raises(ValueError):
+        mixture_sample(df, F.col("k"), {"en": 200})
