@@ -109,9 +109,14 @@ def top_bigram_stats(df: DataFrame, content: str = "content",
     inputs): per doc, total bigram count and the most frequent bigram's
     count. Bigrams are built array-natively (slice + zip_with — no per-doc
     window sort, no Python crossing), then counted with two hash aggs.
-    Docs with fewer than two tokens yield no row."""
-    c = F.trim(F.col(content))
-    toks = F.split(c, f"{T.WHITESPACE_CLASS}+")
+    Docs with fewer than two tokens yield no row.
+
+    Empty tokens (split artifacts at the string edges — SQL `trim` strips
+    only spaces, so leading '\\t'/trailing '\\n' would otherwise form
+    phantom bigrams) are filtered BEFORE pairing."""
+    toks = F.filter(
+        F.split(F.col(content), f"{T.WHITESPACE_CLASS}+"),
+        lambda x: x != "")
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, F.lit(1), n - 1),
@@ -119,7 +124,7 @@ def top_bigram_stats(df: DataFrame, content: str = "content",
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     ex = (
-        df.filter((c != "") & (n >= 2))
+        df.filter(n >= 2)
         .select(F.col(id_col), F.explode(bigrams).alias("bg"))
     )
     per = ex.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))

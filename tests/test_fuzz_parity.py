@@ -71,3 +71,53 @@ def test_fuzz_scrub_rules_decisions_parity(spark):
     for g, s, p in zip(golden["fired_rules"], got["fired_rules"], golden["path"]):
         assert list(s) == list(g), p
     assert got["content_sha256"].tolist() == golden["content_sha256"].tolist()
+
+
+def test_fuzz_repetition_and_bigram_parity(spark):
+    """Random unicode/control-char strings: repetition_stats and
+    top_bigram_stats must agree exactly with Counter-based Python
+    oracles (split-semantics drift guard for \\n and the Java \\s class)."""
+    import re
+    from collections import Counter
+
+    from dqm_spark.operators.textstats import (
+        repetition_stats,
+        top_bigram_stats,
+    )
+
+    rng = random.Random(20260817)
+    rows = [_rand_string(rng) for _ in range(600)]
+    rows += gen_pandas(100)["content"].tolist()
+    pdf = pd.DataFrame({"doc_id": range(len(rows)), "content": rows})
+    sdf = spark.createDataFrame(pdf)
+    ws = r"[ \t\n\x0B\f\r]+"
+
+    for unit in ("line", "word"):
+        out = (repetition_stats(sdf, "content", "doc_id", unit=unit)
+               .toPandas().set_index("doc_id"))
+        for i, t in enumerate(rows):
+            units = ([u for u in t.split("\n") if u != ""] if unit == "line"
+                     else [u for u in re.split(ws, t) if u != ""])
+            if not units:
+                assert i not in out.index, (unit, i)
+                continue
+            cnt = Counter(units)
+            got = out.loc[i]
+            assert int(got.n_units) == len(units), (unit, i)
+            assert int(got.n_distinct_units) == len(cnt), (unit, i)
+            assert int(got.dup_units) == sum(
+                c for c in cnt.values() if c > 1), (unit, i)
+            assert int(got.total_unit_chars) == sum(
+                c * len(u) for u, c in cnt.items()), (unit, i)
+            assert int(got.top_unit_cnt) == max(cnt.values()), (unit, i)
+
+    big = top_bigram_stats(sdf, "content", "doc_id") \
+        .toPandas().set_index("doc_id")
+    for i, t in enumerate(rows):
+        toks = [u for u in re.split(ws, t) if u != ""]
+        bgs = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        if not bgs:
+            assert i not in big.index, i
+            continue
+        assert int(big.loc[i].n_bigrams) == sum(bgs.values()), i
+        assert int(big.loc[i].top_bigram_cnt) == max(bgs.values()), i

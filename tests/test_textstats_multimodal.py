@@ -70,7 +70,7 @@ def _rep_oracle(text: str, unit: str) -> dict | None:
     if unit == "line":
         units = [u for u in text.split("\n") if u != ""]
     else:
-        units = [u for u in re.split(r"[ \t\n\x0B\f\r]+", text.strip())
+        units = [u for u in re.split(r"[ \t\n\x0B\f\r]+", text)
                  if u != ""]
     if not units:
         return None
