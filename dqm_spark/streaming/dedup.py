@@ -1,0 +1,35 @@
+"""Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark).
+
+The batch dedup family (operators/dedup.py) assumes the whole corpus is
+addressable; on an unbounded ingest stream that state would grow forever.
+Spark's dropDuplicatesWithinWatermark keeps first-occurrence-wins
+semantics while EVICTING fingerprint state once the watermark passes —
+the practical contract for continuous ingest: a duplicate landing within
+`watermark` of the original is dropped; one landing later is treated as
+new (and the batch dedup pass over the accumulated table catches it).
+
+dqm analog: the SPSC ingest queue is bounded too — backpressure instead
+of unbounded buffering (/root/reference/plugins/DQMProcessor.hpp:116).
+
+State key is the md5 fingerprint (16 bytes/doc in the state store, not
+the content), so state size is rows-within-watermark × ~50 B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(stream_df: DataFrame, content: str = "content",
+                          ts_col: str = "ingest_ts",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """First occurrence of each content fingerprint passes; duplicates
+    arriving within `watermark` (event time on ts_col) are dropped.
+    Input must be a streaming DataFrame with an event-time column."""
+    fp = F.md5(F.coalesce(F.col(content), F.lit("")))
+    return (
+        stream_df.withColumn("content_fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_fp"])
+    )

@@ -1,0 +1,94 @@
+"""Streaming exact dedup: first-occurrence-wins with watermark-bounded
+state (dropDuplicatesWithinWatermark), exactly-once across restarts."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from dqm_spark.streaming.dedup import streaming_exact_dedup
+
+_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("content", StringType()),
+    StructField("ingest_ts", TimestampType()),
+])
+
+
+def _drain(spark, in_dir, ckpt, out_dir):
+    reader = spark.readStream.schema(_SCHEMA).parquet(in_dir)
+    deduped = streaming_exact_dedup(reader, "content", "ingest_ts",
+                                    watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # StructType.add mutates in place — build the output schema fresh
+    out_schema = StructType(
+        _SCHEMA.fields + [StructField("content_fp", StringType())])
+    return spark.read.schema(out_schema).parquet(out_dir)
+
+
+def test_streaming_dedup_first_occurrence_wins(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    out_dir = os.path.join(tmp, "out")
+    os.makedirs(in_dir)
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "content": ["alpha", "beta", "alpha", "gamma",
+                    "beta", "alpha", "delta", "gamma"],
+        "ingest_ts": [base + pd.Timedelta(seconds=s) for s in range(8)],
+    })
+    spark.createDataFrame(pdf, schema=_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out = _drain(spark, in_dir, ckpt, out_dir).toPandas()
+    # one survivor per distinct content, all within the watermark window
+    assert sorted(out["content"].tolist()) == \
+        ["alpha", "beta", "delta", "gamma"]
+    assert out["content_fp"].nunique() == 4
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    out_dir = os.path.join(tmp, "out")
+    os.makedirs(in_dir)
+    base = pd.Timestamp("2026-01-01 12:00:00")
+
+    first = pd.DataFrame({
+        "doc_id": [0, 1],
+        "content": ["alpha", "beta"],
+        "ingest_ts": [base, base + pd.Timedelta(seconds=1)],
+    })
+    spark.createDataFrame(first, schema=_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out1 = _drain(spark, in_dir, ckpt, out_dir).toPandas()
+    assert sorted(out1["content"]) == ["alpha", "beta"]
+
+    # restart from the same checkpoint: re-sent duplicates (still inside
+    # the watermark) must be dropped by the RESTORED state, not re-emitted
+    second = pd.DataFrame({
+        "doc_id": [2, 3, 4],
+        "content": ["alpha", "new", "beta"],
+        "ingest_ts": [base + pd.Timedelta(seconds=s) for s in (2, 3, 4)],
+    })
+    spark.createDataFrame(second, schema=_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out2 = _drain(spark, in_dir, ckpt, out_dir).toPandas()
+    assert sorted(out2["content"]) == ["alpha", "beta", "new"]
