@@ -50,12 +50,19 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    cfg: QFConfig | None = None,
                    near_dedup: bool = True,
                    repetition_filter: bool = False,
-                   max_dup_line_char_frac: float = 0.5) -> CorpusResult:
+                   max_dup_line_char_frac: float = 0.5,
+                   sequence_dedup: bool = False) -> CorpusResult:
     """repetition_filter adds a Gopher-style stage: drop docs whose
     duplicate-line character fraction exceeds max_dup_line_char_frac
     (textstats.repetition_stats). OFF by default — the default composition
     must reproduce the reference's keep/drop labels exactly (F1 invariant);
-    repetition is a training-data extension on top."""
+    repetition is a training-data extension on top.
+
+    sequence_dedup=True additionally rewrites survivors through
+    dedup.cross_doc_line_dedup (corpus-wide duplicated lines kept at first
+    occurrence only) BEFORE scoring — content entering decisions() is the
+    deduped text, so the per-row sha256 certifies the deduped bytes. Also
+    OFF by default for the same invariant reason."""
     keyed = df.withColumn(
         "__id", F.xxhash64("repo", "path", "commit"))
 
@@ -88,6 +95,13 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
         ~F.col("exact_dup") & ~F.col("near_dup") & ~F.col("repetitive"))
 
     survivors = keyed.join(survivors_ids.select("__id"), "__id")
+    if sequence_dedup:
+        from .operators.dedup import cross_doc_line_dedup
+        rewritten = cross_doc_line_dedup(survivors, "content", "__id") \
+            .select("__id", F.col("dedup_content").alias("content"))
+        # inner join: docs whose every line was deduped away vanish here
+        # (their lines live on in their first-occurrence docs)
+        survivors = survivors.drop("content").join(rewritten, "__id")
     dec = build_decisions(survivors.drop("__id"), spark, cfg)
     met = build_metrics(dec, run_id)
     al = build_alerts(met, spark)

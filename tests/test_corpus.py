@@ -75,3 +75,36 @@ def test_repetition_filter_off_by_default(result):
     res, _ = result
     audit = res.dedup_audit.toPandas()
     assert not audit["repetitive"].any()
+
+
+def test_sequence_dedup_stage_rewrites_content(spark):
+    long_dup = "def shared_helper():  # exactly the same in both files"
+    body0 = "\n".join(f"first_val{j} = compute_thing({j})" for j in range(12))
+    body1 = "\n".join(f"second_val{j} = compute_other({j})" for j in range(12))
+    docs = pd.DataFrame({
+        "repo": "r", "path": [f"f{i}.py" for i in range(3)],
+        "commit": "c" * 40, "lang": "python",
+        "content": [
+            f"{long_dup}\n{body0}",
+            f"{body1}\n{long_dup}",
+            "short\nx",
+        ],
+    })
+    from dqm_spark.qfconfig import QFConfig
+    res = prepare_corpus(spark.createDataFrame(docs), spark,
+                         cfg=QFConfig(enable_scoring=False),
+                         near_dedup=False, sequence_dedup=True)
+    dec = res.decisions.toPandas().set_index("path")
+    # exactly ONE of f0/f1 keeps the duplicated line (winner = min __id,
+    # which is a content-independent hash — either doc may win)
+    has = [p for p in ("f0.py", "f1.py")
+           if long_dup in dec.loc[p, "scrubbed_content"]]
+    assert len(has) == 1
+    loser = "f1.py" if has == ["f0.py"] else "f0.py"
+    assert long_dup not in dec.loc[loser, "scrubbed_content"]
+    assert dec.loc[loser, "scrubbed_content"].count("\n") == 11  # body only
+    # sha256 certifies the DEDUPED bytes
+    import hashlib
+    want = hashlib.sha256(
+        dec.loc[loser, "scrubbed_content"].encode()).hexdigest()
+    assert dec.loc[loser, "content_sha256"] == want

@@ -121,3 +121,30 @@ def test_fuzz_repetition_and_bigram_parity(spark):
             continue
         assert int(big.loc[i].n_bigrams) == sum(bgs.values()), i
         assert int(big.loc[i].top_bigram_cnt) == max(bgs.values()), i
+
+
+def test_fuzz_token_counts_parity(spark):
+    """ws/bpe token counts must match Python re on adversarial strings
+    (regexp_count dialect guard for the shared TOKEN_PATTERN subset)."""
+    import re
+
+    from dqm_spark.functions.text import (
+        NON_WHITESPACE_CLASS,
+        TOKEN_PATTERN,
+        ws_token_count,
+        bpe_token_count,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260818)
+    rows = [_rand_string(rng) for _ in range(800)]
+    pdf = pd.DataFrame({"i": range(len(rows)), "content": rows})
+    out = (spark.createDataFrame(pdf)
+           .select("i", ws_token_count(F.col("content")).alias("ws"),
+                   bpe_token_count(F.col("content")).alias("bpe"))
+           .toPandas().set_index("i").sort_index())
+    ws_re = re.compile(f"{NON_WHITESPACE_CLASS}+")
+    bpe_re = re.compile(TOKEN_PATTERN)
+    for i, t in enumerate(rows):
+        assert out.loc[i, "ws"] == len(ws_re.findall(t)), i
+        assert out.loc[i, "bpe"] == len(bpe_re.findall(t)), i
