@@ -1,0 +1,99 @@
+"""Winnowing document fingerprints (rolling hash), Schleimer et al. 2003.
+
+The md5/xxhash fingerprints in textstats identify BYTE-IDENTICAL docs;
+winnowing fingerprints identify PARTIAL overlap: every shared substring of
+at least w + k - 1 characters between two documents is guaranteed to
+produce at least one shared fingerprint (the winnowing guarantee), so
+copied regions are detectable without any pairwise text comparison.
+
+Kernel: polynomial rolling hash over utf-8 bytes (base 257, natural
+uint64 wraparound — deterministic, no RNG), then per window of w
+consecutive k-gram hashes keep the minimum (rightmost on ties — the
+original robust-winnowing rule). Selected hashes form the document's
+fingerprint set, ~2/(w+1) of all k-grams.
+
+Spark side: fingerprints are an array<long> column from an Arrow UDF;
+overlap detection explodes them, drops ubiquitous fingerprints (document
+frequency > max_df — shared boilerplate would otherwise fan pair
+candidates quadratically, the same reason LSH dedup propagates bucket
+minima instead of enumerating pairs), and self-joins only within rare
+fingerprints: candidate pairs per fingerprint are bounded by max_df^2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_BASE = np.uint64(257)
+
+
+def winnow_fingerprints_one(text: str, k: int = 25, w: int = 16) -> np.ndarray:
+    """Sorted distinct winnowed fingerprints of one document (int64)."""
+    if text is None:
+        return np.empty(0, dtype=np.int64)
+    buf = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    n = buf.size - k + 1
+    if n < 1:
+        return np.empty(0, dtype=np.int64)
+    # k-gram rolling hashes: Horner over k shifted adds (k vector ops)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _BASE + buf[j:j + n]
+    # mix so window-minimum selection is position-uniform
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    if n <= w:
+        sel = np.array([n - 1 - h[::-1].argmin()])
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost minimum per window (argmin on the reversed view)
+        arg = w - 1 - sw[:, ::-1].argmin(axis=1)
+        sel = np.unique(np.arange(sw.shape[0]) + arg)
+    return np.unique(h[sel].view(np.int64))
+
+
+def with_winnowing(df: DataFrame, content: str = "content",
+                   k: int = 25, w: int = 16) -> DataFrame:
+    """Adds `winnow_fps: array<long>` (sorted distinct fingerprints)."""
+
+    @pandas_udf("array<long>")
+    def fps(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(
+                [winnow_fingerprints_one(t, k, w) for t in texts])
+
+    return df.withColumn("winnow_fps", fps(F.col(content)))
+
+
+def winnow_overlap_pairs(df: DataFrame, content: str, id_col: str,
+                         k: int = 25, w: int = 16,
+                         max_df: int = 50,
+                         min_shared: int = 2) -> DataFrame:
+    """(id_a, id_b, shared_fps) for doc pairs sharing >= min_shared rare
+    winnowed fingerprints — partial-overlap (copied-region) candidates.
+    Deterministic; id_a < id_b."""
+    ex = (
+        with_winnowing(df, content, k, w)
+        .select(F.col(id_col), F.explode("winnow_fps").alias("fp"))
+        .distinct()
+    )
+    rare = ex.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("df_count")).filter(
+        F.col("df_count") <= max_df).select("fp")
+    ex = ex.join(rare, "fp")
+    a = ex.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = ex.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1,0 +1,76 @@
+"""Winnowing fingerprints: the substring-detection guarantee and the
+Spark overlap-pair operator."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.winnow import (
+    winnow_fingerprints_one,
+    winnow_overlap_pairs,
+    with_winnowing,
+)
+
+K, W = 25, 16
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice("abcdefghijklmnop qrstuvwxyz0123456789\n")
+                   for _ in range(n))
+
+
+def test_winnowing_guarantee_shared_substring():
+    """Any shared substring of length >= w + k - 1 must yield >= 1 shared
+    fingerprint (Schleimer et al. theorem) — checked over 50 random
+    plants."""
+    rng = random.Random(1)
+    for trial in range(50):
+        shared = _rand_text(rng, W + K - 1)
+        a = _rand_text(rng, 300) + shared + _rand_text(rng, 300)
+        b = _rand_text(rng, 250) + shared + _rand_text(rng, 350)
+        fa = set(winnow_fingerprints_one(a, K, W))
+        fb = set(winnow_fingerprints_one(b, K, W))
+        assert fa & fb, f"trial {trial}: no shared fingerprint"
+
+
+def test_fingerprint_density_and_determinism():
+    rng = random.Random(2)
+    t = _rand_text(rng, 4000)
+    fps = winnow_fingerprints_one(t, K, W)
+    again = winnow_fingerprints_one(t, K, W)
+    assert np.array_equal(fps, again)
+    # expected density ~ 2/(w+1) of k-grams; allow generous slack
+    n_kgrams = len(t.encode()) - K + 1
+    assert 0.5 * n_kgrams / (W + 1) < len(fps) < 4 * n_kgrams / (W + 1)
+    # edge cases
+    assert winnow_fingerprints_one(None).size == 0
+    assert winnow_fingerprints_one("short").size == 0
+    assert winnow_fingerprints_one("x" * K).size == 1
+
+
+def test_overlap_pairs_finds_planted_copy(spark):
+    rng = random.Random(3)
+    copied = _rand_text(rng, 400)
+    texts = [_rand_text(rng, 600) for _ in range(30)]
+    texts.append(_rand_text(rng, 200) + copied + _rand_text(rng, 100))
+    texts.append(copied + _rand_text(rng, 300))  # pair (30, 31) share 400 chars
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = winnow_overlap_pairs(
+        spark.createDataFrame(pdf), "text", "doc_id",
+        min_shared=3).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (30, 31) in pairs
+    # the planted pair dominates every incidental collision
+    top = out.sort_values("shared_fps", ascending=False).iloc[0]
+    assert (top.id_a, top.id_b) == (30, 31)
+
+
+def test_with_winnowing_column_shape(spark):
+    pdf = pd.DataFrame({"text": ["y" * 100, "", None]})
+    out = with_winnowing(spark.createDataFrame(pdf), "text").toPandas()
+    assert len(out.winnow_fps[0]) >= 1
+    assert list(out.winnow_fps[1]) == [] and list(out.winnow_fps[2]) == []
