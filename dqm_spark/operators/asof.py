@@ -1,0 +1,49 @@
+"""As-of (backward) join — a composition of built-ins, no custom operator.
+
+Spark has no native ASOF JOIN. The naive formulation (theta-join on
+l.ts >= r.ts + window max) explodes to O(|L| x |R|) pairs per key. The
+scalable composition: tag both sides, UNION them, and take per key a
+running `last(right value, ignorenulls=True)` over event-time order —
+one sort-based window per key partition, O((|L|+|R|) log) work, a single
+shuffle, no pair enumeration. Keys are the natural partition; AQE handles
+residual skew.
+
+Tie rule: a right row at exactly l.ts IS visible to l (right sorts before
+left at equal timestamps) — the same semantics as DuckDB's ASOF JOIN
+(largest r.ts <= l.ts), which serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              value_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """For every left row: the most recent right row with the same `key`
+    and right.ts <= left.ts; its `value_cols` appear as <col><suffix>
+    (null when no prior right row exists). Left columns pass through."""
+    from pyspark.sql import Window
+
+    tagged_r = right.select(
+        key, ts, *value_cols).withColumn("__side", F.lit(0))
+    tagged_l = left.withColumn("__side", F.lit(1))
+    # right rows carry only (key, ts, values); left columns become null
+    # on those rows and are dropped again after the window pass
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(
+            c + suffix,
+            F.last(F.when(F.col("__side") == 0, F.col(c)),
+                   ignorenulls=True).over(w))
+    drop = ["__side"] + [c for c in value_cols if c not in left.columns]
+    return out.filter(F.col("__side") == 1).drop(*drop)

@@ -103,3 +103,28 @@ def test_cross_doc_line_dedup_semantics(spark):
         f"{short_dup}\nunique one line that is long enough"
     # doc 2 was ONLY duplicated long lines -> loses everything, no row
     assert 2 not in out.index
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts; same-ts right
+    row IS visible; no prior row -> null."""
+    import pandas as pd
+    from dqm_spark.operators.asof import asof_join
+    left = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": [5, 10, 20, 7],
+        "lid": [1, 2, 3, 4],
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [10, 15, 9],
+        "v": [100.0, 150.0, 900.0],
+    })
+    out = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), "k", "ts", ["v"])
+           .toPandas().set_index("lid").sort_index())
+    assert pd.isna(out.loc[1, "v_asof"])      # nothing at/before ts=5
+    assert out.loc[2, "v_asof"] == 100.0      # same-ts right row visible
+    assert out.loc[3, "v_asof"] == 150.0      # latest prior
+    assert pd.isna(out.loc[4, "v_asof"])      # b's right row is later
+    assert set(out.columns) >= {"k", "ts", "v_asof"}
