@@ -1,0 +1,38 @@
+"""Range join (point-in-interval) via interval bucketing.
+
+Spark's only native plan for `l.ts BETWEEN r.start AND r.end` with an
+equi-key is a sort-merge/broadcast join on the key followed by a filter —
+fine when keys are selective, quadratic within a hot key. The standard
+scalable composition: quantize time into fixed buckets, explode each
+interval to every bucket it overlaps (fanout = interval_length/bucket,
+bounded and chosen by the caller), give each point its single bucket, and
+equi-join on (key, bucket) before the exact BETWEEN filter. Every
+candidate pair shares a bucket, so the join is a plain hash join with
+bounded per-bucket fanout; a point matches an interval exactly once
+(points have one bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key: str,
+               ts: str, start: str, end: str,
+               bucket_seconds: int = 900) -> DataFrame:
+    """Inner join: every (point, interval) with equal `key` and
+    start <= ts <= end. Interval columns pass through."""
+    bs = F.lit(bucket_seconds)
+    b_pts = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(ts)) / bs))
+    b_int = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start)) / bs),
+            F.floor(F.unix_timestamp(F.col(end)) / bs))))
+    return (
+        b_pts.join(b_int, [key, "__bucket"])
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("__bucket")
+    )

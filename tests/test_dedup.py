@@ -128,3 +128,24 @@ def test_asof_join_semantics(spark):
     assert out.loc[3, "v_asof"] == 150.0      # latest prior
     assert pd.isna(out.loc[4, "v_asof"])      # b's right row is later
     assert set(out.columns) >= {"k", "ts", "v_asof"}
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """A point inside an interval matches exactly once regardless of how
+    many buckets the interval spans."""
+    import pandas as pd
+    from dqm_spark.operators.rangejoin import range_join
+    pts = pd.DataFrame({
+        "k": ["a"] * 3,
+        "ts": pd.to_datetime(["2026-01-01 00:05", "2026-01-01 03:00",
+                              "2026-01-02 00:00"]),
+        "pid": [1, 2, 3],
+    })
+    iv = pd.DataFrame({
+        "k": ["a"],
+        "s": pd.to_datetime(["2026-01-01 00:00"]),
+        "e": pd.to_datetime(["2026-01-01 06:00"]),  # spans 24 buckets @900s
+    })
+    out = range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                     "k", "ts", "s", "e", bucket_seconds=900).toPandas()
+    assert sorted(out.pid.tolist()) == [1, 2]  # pid 3 is outside
