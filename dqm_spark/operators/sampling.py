@@ -38,6 +38,22 @@ def deterministic_sample(df: DataFrame, key: Column, pct: int,
     return df.filter(hash_sample_col(key, pct, denom, salt))
 
 
+def exact_stratified_sample(df: DataFrame, key: Column, n_per_stratum: int,
+                            stratum_col: str = "lang",
+                            salt: str = "") -> DataFrame:
+    """Exactly min(N, stratum size) rows per stratum, chosen by hash order
+    (smallest md5(salt || key) wins) — deterministic across runs and
+    partitionings, unlike a seeded sampleBy, and exact where rate-based
+    sampling is only exact in expectation. Delegates to the skew-safe
+    two-stage grouped top-k, so a monorepo-sized stratum cannot serialize
+    the stage."""
+    from .topk import grouped_topk
+    h = F.md5(F.concat(F.lit(salt), key))
+    out = grouped_topk(df.withColumn("__h", h), stratum_col,
+                       [F.asc("__h")], k=n_per_stratum, salt_col="__h")
+    return out.drop("__h", "rnk")
+
+
 def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],
                    stratum_col: str = "lang", denom: int = 100,
                    salt: str = "") -> DataFrame:

@@ -200,3 +200,23 @@ def test_mixture_sample_rates_and_exclusion(spark):
     assert "xx" not in out.index               # absent stratum dropped
     with _pt.raises(ValueError):
         mixture_sample(df, F.col("k"), {"en": 200})
+
+
+def test_exact_stratified_sample(spark):
+    from dqm_spark.operators.sampling import exact_stratified_sample
+    df = (spark.range(5000)
+          .select(F.col("id").cast("string").alias("k"),
+                  F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                               (F.col("id") % 3 + 1).cast("int"))
+                  .alias("lang")))
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"k": ["z1", "z2"], "lang": ["zz", "zz"]}))
+    out = (exact_stratified_sample(df.unionByName(tiny), F.col("k"), 100)
+           .groupBy("lang").count().toPandas().set_index("lang")["count"])
+    assert out["a"] == out["b"] == out["c"] == 100   # exact counts
+    assert out["zz"] == 2                             # undersized stratum
+    # deterministic across physical layouts
+    s1 = set(r.k for r in exact_stratified_sample(df, F.col("k"), 50).collect())
+    s2 = set(r.k for r in
+             exact_stratified_sample(df.repartition(17), F.col("k"), 50).collect())
+    assert s1 == s2
