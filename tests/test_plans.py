@@ -76,3 +76,22 @@ def test_pii_counts_single_agg_exchange(spark):
     import __spark_entry__ as em
     df = em.q_doc_pii_counts(spark, SF)
     assert_plan(df, max_exchanges=1)
+
+
+def test_asof_range_session_plan_budgets(spark):
+    """New relational ops stay shuffle-frugal: as-of = union + ONE window
+    exchange; range join = hash join only (no nested-loop/cartesian);
+    sessionize = window + final agg exchanges."""
+    import __spark_entry__ as em
+    asof = em.q_events_asof_join(spark, SF)
+    s = plan_string(asof)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    assert_plan(asof, max_exchanges=3)  # window + the 2 grouped inputs
+
+    rj = em.q_events_range_join(spark, SF)
+    s = plan_string(rj)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    assert "Join" in s
+
+    sess = em.q_events_sessionize(spark, SF)
+    assert_plan(sess, max_exchanges=2)  # one window partition + final agg
