@@ -7,6 +7,9 @@ DuckDB); the n-gram langid heuristic reuses the models layer.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +135,35 @@ def top_bigram_stats(df: DataFrame, content: str = "content",
         F.sum("c").cast("long").alias("n_bigrams"),
         F.max("c").cast("long").alias("top_bigram_cnt"),
     )
+
+
+def with_compression_ratio(df: DataFrame, content: str = "content",
+                           level: int = 6) -> DataFrame:
+    """zlib compressed/raw byte ratio per doc (the Gopher/CCNet
+    gibberish-and-boilerplate signal): near-random text compresses poorly
+    (ratio → 1), heavily repeated text compresses extremely well
+    (ratio → 0). Ratios exceed 1.0 only for tiny documents (zlib header
+    overhead dominates; verified 0 occurrences above 100 bytes on the
+    synth corpus). Null for empty/null content. Arrow-batched pandas UDF —
+    zlib is per-row C code, the batch loop is the Python part; level is
+    pinned so results are deterministic across runs."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None or t == "":
+                    out.append(None)
+                    continue
+                raw = t.encode("utf-8", "replace")
+                out.append(len(zlib.compress(raw, level)) / len(raw))
+            yield pd.Series(out, dtype="float64")
+
+    return df.withColumn("compression_ratio", ratio(F.col(content)))
 
 
 def with_langid_heuristic(df: DataFrame, spark, content: str = "content") -> DataFrame:

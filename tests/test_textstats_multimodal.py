@@ -220,3 +220,25 @@ def test_exact_stratified_sample(spark):
     s2 = set(r.k for r in
              exact_stratified_sample(df.repartition(17), F.col("k"), 50).collect())
     assert s1 == s2
+
+
+def test_compression_ratio_parity_and_discrimination(spark):
+    import zlib
+    from dqm_spark.operators.textstats import with_compression_ratio
+    from dqm_spark.synth import gen_pandas
+    pdf = gen_pandas(300, with_stratum=True)
+    out = with_compression_ratio(
+        spark.createDataFrame(pdf.drop(columns=["stratum"])), "content"
+    ).toPandas()
+    # per-row parity with Python zlib
+    for t, r in zip(out["content"], out["compression_ratio"]):
+        if t is None or t == "":
+            assert r is None or pd.isna(r)
+        else:
+            raw = t.encode("utf-8", "replace")
+            assert abs(r - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+    # discriminates: repeated-line docs compress far better than gibberish
+    out["stratum"] = pdf["stratum"].values
+    g = out.groupby("stratum")["compression_ratio"].mean()
+    if "low_entropy" in g.index and "gibberish" in g.index:
+        assert g["low_entropy"] < 0.2 < g["gibberish"]
