@@ -51,7 +51,8 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    near_dedup: bool = True,
                    repetition_filter: bool = False,
                    max_dup_line_char_frac: float = 0.5,
-                   sequence_dedup: bool = False) -> CorpusResult:
+                   sequence_dedup: bool = False,
+                   mixture: dict[str, int] | None = None) -> CorpusResult:
     """repetition_filter adds a Gopher-style stage: drop docs whose
     duplicate-line character fraction exceeds max_dup_line_char_frac
     (textstats.repetition_stats). OFF by default — the default composition
@@ -62,7 +63,16 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
     dedup.cross_doc_line_dedup (corpus-wide duplicated lines kept at first
     occurrence only) BEFORE scoring — content entering decisions() is the
     deduped text, so the per-row sha256 certifies the deduped bytes. Also
-    OFF by default for the same invariant reason."""
+    OFF by default for the same invariant reason.
+
+    mixture (e.g. {'python': 100, 'go': 25}) applies per-lang
+    deterministic down-sampling FIRST — before any dedup — so every later
+    stage pays only for sampled rows; langs outside the mixture drop."""
+    if mixture is not None:
+        from .operators.sampling import mixture_sample
+        df = mixture_sample(
+            df, F.concat("repo", F.lit("/"), "path", F.lit("@"), "commit"),
+            mixture, stratum_col="lang")
     keyed = df.withColumn(
         "__id", F.xxhash64("repo", "path", "commit"))
 

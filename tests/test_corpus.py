@@ -108,3 +108,15 @@ def test_sequence_dedup_stage_rewrites_content(spark):
     want = hashlib.sha256(
         dec.loc[loser, "scrubbed_content"].encode()).hexdigest()
     assert dec.loc[loser, "content_sha256"] == want
+
+
+def test_mixture_stage_filters_langs_before_dedup(spark):
+    pdf = gen_pandas(500)
+    res = prepare_corpus(spark.createDataFrame(pdf), spark,
+                         near_dedup=False,
+                         mixture={"python": 100, "go": 100})
+    langs = set(res.decisions.select("lang").toPandas()["lang"])
+    assert langs <= {"python", "go"}
+    audit_n = res.dedup_audit.count()
+    in_mix = (pdf.lang.isin(["python", "go"])).sum()
+    assert audit_n == in_mix  # 100% strata fully present, others gone
