@@ -37,7 +37,9 @@ def fft_per_group(df: DataFrame, group: str, order: list[str],
                   min_points: int = 8) -> DataFrame:
     """Per-group |rfft| over the first n_points values in `order` order."""
 
-    def fft(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # full hints so applyInPandas infers the grouped-map eval type without
+    # the "cannot infer" warning path
+    def fft(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
         vals = pdf[value].to_numpy(dtype=np.float64)[:n_points]
         gid = int(key[0])
