@@ -1,0 +1,109 @@
+"""Distributed (re)training of the broadcast models from a corpus table.
+
+The shipped langid/perplexity models train at import time from the
+embedded seed corpora (models/langid.py, models/perplexity.py). At web
+scale the same models are retrained from the CORPUS ITSELF: trigram
+counting is a distributed two-stage aggregation (mapInPandas emits
+per-batch (lang, bucket, count) partials — at most C x 2^15 rows per
+batch regardless of input size — and a hash agg sums them), and only the
+tiny count matrix (n_classes x 32768) reaches the driver, where the
+smoothing math is byte-identical to the single-process trainers.
+
+Counting semantics: trigrams are DOCUMENT-LOCAL (no cross-row windows —
+trigram_features separates rows with \\x00 bytes), so feeding a class
+corpus as one row reproduces the single-process trainer bit-for-bit,
+and feeding it split into many rows counts each row's trigrams
+independently (the natural semantics for a table of files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ngram import HASH_BUCKETS, trigram_features
+
+_COUNT_SCHEMA = "lang string, bucket long, cnt long"
+
+
+def trigram_count_rows(df: DataFrame, content_col: str = "content",
+                       lang_col: str | None = "lang") -> DataFrame:
+    """(lang, bucket, cnt) partial counts — one output row per distinct
+    (lang, bucket) per Arrow batch (bounded by C x 32768), ready for a
+    partial+final hash aggregation."""
+    cols = [content_col] + ([lang_col] if lang_col else [])
+    src = df.select(*cols)
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[content_col].tolist()
+            hashes, row_ids, _ = trigram_features(texts)
+            if hashes.size == 0:
+                continue
+            if lang_col:
+                langs = pdf[lang_col].fillna("<null>").to_numpy(dtype=object)
+                uniq_langs, lang_idx = np.unique(langs, return_inverse=True)
+            else:
+                uniq_langs = np.array(["<all>"], dtype=object)
+                lang_idx = np.zeros(len(texts), dtype=np.int64)
+            comb = lang_idx[row_ids] * HASH_BUCKETS + hashes
+            u, c = np.unique(comb, return_counts=True)
+            yield pd.DataFrame({
+                "lang": uniq_langs[u // HASH_BUCKETS],
+                "bucket": (u % HASH_BUCKETS).astype(np.int64),
+                "cnt": c.astype(np.int64),
+            })
+
+    return (
+        src.mapInPandas(count_batches, _COUNT_SCHEMA)
+        .groupBy("lang", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _collect_counts(df: DataFrame, content_col: str,
+                    lang_col: str | None) -> dict[str, np.ndarray]:
+    pdf = trigram_count_rows(df, content_col, lang_col).toPandas()
+    out: dict[str, np.ndarray] = {}
+    for lang, grp in pdf.groupby("lang"):
+        v = np.zeros(HASH_BUCKETS, dtype=np.float64)
+        v[grp["bucket"].to_numpy()] = grp["cnt"].to_numpy(dtype=np.float64)
+        out[str(lang)] = v
+    return out
+
+
+def train_langid_weights_distributed(df: DataFrame,
+                                     classes: tuple[str, ...],
+                                     content_col: str = "content",
+                                     lang_col: str = "lang") -> np.ndarray:
+    """(HASH_BUCKETS, n_classes) float32 — same smoothing as
+    langid.train_weights; classes missing from the corpus train on an
+    all-zero count vector (pure smoothing)."""
+    from .langid import _ALPHA
+    counts = _collect_counts(df, content_col, lang_col)
+    cols = []
+    for cls in classes:
+        c = counts.get(cls, np.zeros(HASH_BUCKETS, dtype=np.float64))
+        logp = np.log(c + _ALPHA) - np.log(c.sum() + _ALPHA * HASH_BUCKETS)
+        cols.append(logp)
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+def train_perplexity_log_probs_distributed(
+        df: DataFrame, content_col: str = "content") -> np.ndarray:
+    """(HASH_BUCKETS,) float32 — same absolute-discount smoothing as
+    perplexity.train_log_probs, counts pooled over the whole corpus."""
+    from .perplexity import _DISCOUNT
+    counts = _collect_counts(df, content_col, lang_col=None)
+    c = counts.get("<all>", np.zeros(HASH_BUCKETS, dtype=np.float64))
+    n_total = c.sum()
+    if n_total == 0:
+        raise ValueError("corpus has no trigrams to train on")
+    n_seen = float((c > 0).sum())
+    base = (_DISCOUNT * n_seen / n_total) / HASH_BUCKETS
+    p = np.maximum(c - _DISCOUNT, 0.0) / n_total + base
+    return np.log(p).astype(np.float32)

@@ -1,0 +1,67 @@
+"""Distributed model training must reproduce the single-process trainers
+bit-for-bit when fed the same corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dqm_spark.models.langid import CLASSES, train_weights
+from dqm_spark.models.perplexity import _TRAIN_CLASSES, train_log_probs
+from dqm_spark.models.corpus import corpus_text
+from dqm_spark.models.ngram import HASH_BUCKETS, trigram_features
+from dqm_spark.models.train import (
+    train_langid_weights_distributed,
+    train_perplexity_log_probs_distributed,
+    trigram_count_rows,
+)
+
+
+def test_langid_training_bit_identical(spark):
+    pdf = pd.DataFrame({
+        "lang": list(CLASSES),
+        "content": [corpus_text(c) for c in CLASSES],
+    })
+    w = train_langid_weights_distributed(
+        spark.createDataFrame(pdf).repartition(4), CLASSES)
+    assert np.array_equal(w, train_weights())
+
+
+def test_perplexity_training_bit_identical(spark):
+    joined = "\n".join(corpus_text(c) for c in _TRAIN_CLASSES)
+    lp = train_perplexity_log_probs_distributed(
+        spark.createDataFrame(pd.DataFrame({"content": [joined]})))
+    assert np.array_equal(lp, train_log_probs())
+
+
+def test_multi_row_counts_are_row_local_sums(spark):
+    """Splitting a corpus into many rows counts each row's trigrams
+    independently (document-local semantics, no cross-row windows)."""
+    texts = ["alpha beta gamma", "beta gamma delta", "", "xy"]
+    rows = (trigram_count_rows(
+        spark.createDataFrame(pd.DataFrame({"content": texts})),
+        "content", lang_col=None).toPandas())
+    got = np.zeros(HASH_BUCKETS, dtype=np.int64)
+    got[rows["bucket"].to_numpy()] = rows["cnt"].to_numpy()
+    want = np.zeros(HASH_BUCKETS, dtype=np.int64)
+    for t in texts:
+        h, _, _ = trigram_features([t])
+        np.add.at(want, h, 1)
+    assert np.array_equal(got, want)
+
+
+def test_retrained_model_scores_identically(spark):
+    """Scoring with the distributed-retrained weights equals scoring with
+    the import-time weights (end-to-end closure)."""
+    from dqm_spark.models.langid import predict_batch
+    pdf = pd.DataFrame({
+        "lang": list(CLASSES),
+        "content": [corpus_text(c) for c in CLASSES],
+    })
+    w = train_langid_weights_distributed(spark.createDataFrame(pdf), CLASSES)
+    probe = ["import os\nfrom collections import defaultdict\n" * 3,
+             "typedef struct { int id; } record_t;\n" * 4]
+    p1, c1 = predict_batch(probe)
+    p2, c2 = predict_batch(probe, weights=w)
+    assert list(p1) == list(p2)
+    assert np.allclose(c1, c2, equal_nan=True)
