@@ -73,3 +73,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     out = entrymod.entry(spark)
     assert out.count() > 0
+
+
+def test_registry_consistency():
+    """Every q_* function is wired into queries(); every oracle key has a
+    query; no silent dict-key collisions (len == distinct)."""
+    import re
+    src = open(entrymod.__file__).read()
+    qfuncs = set(re.findall(r"def (q_[a-z0-9_]+)\(", src))
+    wired = set(re.findall(r":\s*(q_[a-z0-9_]+)[,\s]", src))
+    assert qfuncs <= wired, f"unwired: {sorted(qfuncs - wired)}"
+    block = src.split("def _raw_queries()")[1].split("def oracle_sql")[0]
+    keys = re.findall(r'"([a-z0-9_]+)":\s*q_', block)
+    assert len(keys) == len(set(keys)) == len(entrymod.queries())
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
