@@ -46,12 +46,28 @@ def exact_stratified_sample(df: DataFrame, key: Column, n_per_stratum: int,
     partitionings, unlike a seeded sampleBy, and exact where rate-based
     sampling is only exact in expectation. Delegates to the skew-safe
     two-stage grouped top-k, so a monorepo-sized stratum cannot serialize
-    the stage."""
+    the stage.
+
+    Determinism with duplicate keys: ties on the key hash break on a
+    full-row hash, so distinct rows order deterministically; rows that are
+    complete duplicates are interchangeable (either choice yields the same
+    output content). Internal columns use collision-safe names and the
+    caller's columns are returned untouched."""
     from .topk import grouped_topk
-    h = F.md5(F.concat(F.lit(salt), key))
-    out = grouped_topk(df.withColumn("__h", h), stratum_col,
-                       [F.asc("__h")], k=n_per_stratum, salt_col="__h")
-    return out.drop("__h", "rnk")
+    hc, tc = "__strat_key_h_7c41", "__strat_row_h_7c41"
+    # grouped_topk emits its own 'rnk' column — shield a caller's by rename
+    rnk_shield = "__strat_user_rnk_7c41"
+    src = df.withColumnRenamed("rnk", rnk_shield) if "rnk" in df.columns \
+        else df
+    tmp = src.withColumns({
+        hc: F.md5(F.concat(F.lit(salt), key)),
+        tc: F.xxhash64(*[F.col(c) for c in src.columns]),
+    })
+    out = grouped_topk(tmp, stratum_col, [F.asc(hc), F.asc(tc)],
+                       k=n_per_stratum, salt_col=hc).select(*src.columns)
+    if "rnk" in df.columns:
+        out = out.withColumnRenamed(rnk_shield, "rnk")
+    return out.select(*df.columns)
 
 
 def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],

@@ -242,3 +242,26 @@ def test_compression_ratio_parity_and_discrimination(spark):
     g = out.groupby("stratum")["compression_ratio"].mean()
     if "low_entropy" in g.index and "gibberish" in g.index:
         assert g["low_entropy"] < 0.2 < g["gibberish"]
+
+
+def test_exact_stratified_sample_dup_keys_and_column_safety(spark):
+    """Review regressions: duplicate key values must still sample
+    deterministically across layouts, and caller columns named 'rnk'
+    must survive untouched."""
+    from dqm_spark.operators.sampling import exact_stratified_sample
+    pdf = pd.DataFrame({
+        "k": [f"key{i % 40}" for i in range(400)],   # heavy key duplication
+        "lang": ["a" if i % 2 else "b" for i in range(400)],
+        "payload": [f"p{i}" for i in range(400)],
+        "rnk": list(range(400)),                     # caller-owned column
+    })
+    df = spark.createDataFrame(pdf)
+    s1 = exact_stratified_sample(df, F.col("k"), 30)
+    s2 = exact_stratified_sample(df.repartition(13), F.col("k"), 30)
+    a = sorted(map(tuple, s1.toPandas().values.tolist()))
+    b = sorted(map(tuple, s2.toPandas().values.tolist()))
+    assert a == b                     # layout-independent despite dup keys
+    out = s1.toPandas()
+    assert set(out.columns) == {"k", "lang", "payload", "rnk"}
+    orig = pdf.set_index("payload")["rnk"]
+    assert all(orig[p] == r for p, r in zip(out.payload, out.rnk))
