@@ -39,11 +39,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u
+    # carry ALL value columns in one struct marker: the struct is non-null
+    # for every right row, so (a) a NULL value in the most recent right
+    # row propagates as NULL instead of falling back to an older row, and
+    # (b) multi-column outputs always come from the SAME right row —
+    # per-column last(..., ignorenulls) would violate both
+    marker = F.when(F.col("__side") == 0,
+                    F.struct(*[F.col(c) for c in value_cols]))
+    out = u.withColumn("__rv", F.last(marker, ignorenulls=True).over(w))
     for c in value_cols:
-        out = out.withColumn(
-            c + suffix,
-            F.last(F.when(F.col("__side") == 0, F.col(c)),
-                   ignorenulls=True).over(w))
-    drop = ["__side"] + [c for c in value_cols if c not in left.columns]
+        out = out.withColumn(c + suffix, F.col("__rv")[c])
+    drop = ["__side", "__rv"] + [c for c in value_cols
+                                 if c not in left.columns]
     return out.filter(F.col("__side") == 1).drop(*drop)

@@ -213,27 +213,30 @@ def simhash_values(texts) -> np.ndarray:
     prow = uniq // HASH_BUCKETS
     pbkt = uniq % HASH_BUCKETS
     lut = _simhash_bits_lut()
-    w32 = ucnt.astype(np.float32)  # counts < 2^24 stay exact in float32
-    seg_has = np.zeros(n, dtype=bool)
-    seg_has[prow] = True
     half = counts.astype(np.float64) / 2.0
     vals = np.zeros(n, dtype=np.uint64)
-    # row blocks bound the (pairs, 64) float32 temp to ~tens of MB
+    # row blocks bound the (pairs, 64) temp to ~tens of MB
     block = 2048
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         s, e = np.searchsorted(prow, [lo, hi])
         if s == e:
             continue
-        wb = lut[pbkt[s:e]] * w32[s:e, None]
-        # prow slice is sorted; clamp starts for trailing pairless rows
-        # (masked below via seg_has)
-        starts = np.minimum(
-            np.searchsorted(prow[s:e], np.arange(lo, hi)), e - s - 1)
-        ones = np.add.reduceat(wb, starts, axis=0)
-        bits = (ones > half[lo:hi, None]) & seg_has[lo:hi, None]
+        # segment per PRESENT row only (pairless rows get no segment —
+        # a clamp-based variant silently truncated the final present
+        # row's segment when pairless rows ended the block)
+        present = np.unique(prow[s:e])
+        seg_starts = np.searchsorted(prow[s:e], present)
+        # float32 keeps integer weights exact below 2^24 occurrences;
+        # huge documents fall back to float64 so the ones==half majority
+        # threshold cannot round the wrong way
+        dt = np.float64 if counts[present].max() >= (1 << 23) else np.float32
+        wb = lut[pbkt[s:e]].astype(dt, copy=False) \
+            * ucnt[s:e].astype(dt)[:, None]
+        ones = np.add.reduceat(wb, seg_starts, axis=0)
+        bits = ones > half[present, None]
         for k in range(64):
-            vals[lo:hi] |= bits[:, k].astype(np.uint64) << np.uint64(k)
+            vals[present] |= bits[:, k].astype(np.uint64) << np.uint64(k)
     nonempty = counts > 0
     out[nonempty] = vals[nonempty]
     return out.view(np.int64)

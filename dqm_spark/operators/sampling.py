@@ -19,18 +19,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _keep_hash(key: Column, salt: str) -> Column:
+    """The ONE keep-hash formula (first 8 hex chars of md5(salt || key) as
+    a uniform 32-bit integer) — shared by every sampler so rate samples,
+    mixtures, and splits stay mutually nested and reproducible."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def hash_sample_col(key: Column, pct: int, denom: int = 100,
                     salt: str = "") -> Column:
     """Boolean: row is in the deterministic pct/denom sample.
 
-    Uses the first 8 hex chars of md5(salt || key) as a uniform 32-bit
-    integer. Change `salt` to draw an independent sample from the same
-    table (e.g. train/holdout splits with disjoint salts).
+    Change `salt` to draw an independent sample from the same table
+    (e.g. train/holdout splits with disjoint salts).
     """
     if not (0 <= pct <= denom):
         raise ValueError(f"pct must be in [0, {denom}], got {pct}")
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
-    return (h.cast("long") % denom) < pct
+    return (_keep_hash(key, salt) % denom) < pct
 
 
 def deterministic_sample(df: DataFrame, key: Column, pct: int,
@@ -85,5 +92,4 @@ def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],
     pct = F.lit(-1)
     for stratum, w in sorted(weights.items()):
         pct = F.when(F.col(stratum_col) == stratum, F.lit(w)).otherwise(pct)
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
-    return df.filter((h.cast("long") % denom) < pct)
+    return df.filter((_keep_hash(key, salt) % denom) < pct)

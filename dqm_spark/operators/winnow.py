@@ -79,10 +79,11 @@ def winnow_overlap_pairs(df: DataFrame, content: str, id_col: str,
     """(id_a, id_b, shared_fps) for doc pairs sharing >= min_shared rare
     winnowed fingerprints — partial-overlap (copied-region) candidates.
     Deterministic; id_a < id_b."""
+    # (id, fp) rows are distinct by construction — winnow_fingerprints_one
+    # returns np.unique per doc — so no dedup shuffle is needed here
     ex = (
         with_winnowing(df, content, k, w)
         .select(F.col(id_col), F.explode("winnow_fps").alias("fp"))
-        .distinct()
     )
     rare = ex.groupBy("fp").agg(
         F.count(F.lit(1)).alias("df_count")).filter(

@@ -149,3 +149,32 @@ def test_range_join_no_duplicate_matches(spark):
     out = range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
                      "k", "ts", "s", "e", bucket_seconds=900).toPandas()
     assert sorted(out.pid.tolist()) == [1, 2]  # pid 3 is outside
+
+
+def test_simhash_neighbor_independence():
+    """Review regression: a doc's simhash must not depend on its batch
+    neighbors (a reduceat clamp once truncated the last pair-ful row's
+    segment when pairless docs ended the block)."""
+    import numpy as np
+    from dqm_spark.operators.dedup import simhash_values
+    doc = "hello world this is a test doc"
+    solo = np.asarray(simhash_values([doc]))[0]
+    assert np.asarray(simhash_values([doc, ""]))[0] == solo
+    assert np.asarray(simhash_values([doc, "", "ab", None]))[0] == solo
+    assert np.asarray(simhash_values(["x y z", doc]))[1] == solo
+
+
+def test_asof_join_null_value_and_same_row_semantics(spark):
+    """Review regression: a NULL value in the most recent right row must
+    propagate (not fall back to an older row), and multi-column outputs
+    must come from the SAME right row."""
+    import pandas as pd
+    from dqm_spark.operators.asof import asof_join
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "ts": [20], "lid": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "ts": [5, 10],
+        "v": [100.0, None], "u": [None, 7.0]}))
+    out = asof_join(left, right, "k", "ts", ["v", "u"]).collect()[0]
+    # most recent right row is (ts=10, v=NULL, u=7): both fields from IT
+    assert out.v_asof is None and out.u_asof == 7.0
