@@ -10,7 +10,12 @@ residual skew.
 
 Tie rule: a right row at exactly l.ts IS visible to l (right sorts before
 left at equal timestamps) — the same semantics as DuckDB's ASOF JOIN
-(largest r.ts <= l.ts), which serves as the oracle.
+(largest r.ts <= l.ts), which serves as the oracle. When SEVERAL right
+rows share the same (key, ts), the winner is the one with the largest
+xxhash64 of its value tuple — an arbitrary but run- and
+partitioning-stable choice (plain `last` over equal sort keys would be
+nondeterministic across shuffles). Pre-aggregate the right side per
+(key, ts) if you need a semantic rule (latest insert, max value, ...).
 """
 
 from __future__ import annotations
@@ -34,9 +39,18 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     # on those rows and are dropped again after the window pass
     u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
+    # deterministic tie-break among right rows with equal (key, ts): order
+    # by a stable hash of the value tuple so `last` always picks the same
+    # row regardless of partitioning. Left rows (__side=1) sort after all
+    # right rows at the same ts, so their position is unaffected (their
+    # null __tie is irrelevant: __side dominates).
+    u = u.withColumn(
+        "__tie",
+        F.when(F.col("__side") == 0,
+               F.xxhash64(F.struct(*[F.col(c) for c in value_cols]))))
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # carry ALL value columns in one struct marker: the struct is non-null
@@ -49,6 +63,6 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     out = u.withColumn("__rv", F.last(marker, ignorenulls=True).over(w))
     for c in value_cols:
         out = out.withColumn(c + suffix, F.col("__rv")[c])
-    drop = ["__side", "__rv"] + [c for c in value_cols
-                                 if c not in left.columns]
+    drop = ["__side", "__rv", "__tie"] + [c for c in value_cols
+                                          if c not in left.columns]
     return out.filter(F.col("__side") == 1).drop(*drop)

@@ -297,8 +297,7 @@ def cross_doc_line_dedup(df: DataFrame, content: str, id_col: str,
         pos_doc.filter(dedupable)
         .groupBy("u")
         .agg(F.min(F.struct(F.col(id_col).alias("id"),
-                            F.col("pos").alias("pos"))).alias("w"),
-             F.count(F.lit(1)).alias("occ"))
+                            F.col("pos").alias("pos"))).alias("w"))
     )
     joined = pos_doc.join(winners, "u", "left")
     kept = joined.filter(

@@ -26,11 +26,18 @@ def range_join(points: DataFrame, intervals: DataFrame, key: str,
     bs = F.lit(bucket_seconds)
     b_pts = points.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(ts)) / bs))
-    b_int = intervals.withColumn(
-        "__bucket",
-        F.explode(F.sequence(
-            F.floor(F.unix_timestamp(F.col(start)) / bs),
-            F.floor(F.unix_timestamp(F.col(end)) / bs))))
+    # Guard the explode: F.sequence defaults to step -1 when end < start, so
+    # one malformed inverted interval (end before start) would fan out to a
+    # huge DESCENDING bucket list — or throw Spark's sequence-length error —
+    # even though the BETWEEN filter discards every candidate. Drop such
+    # rows before the explode; they can never match a point.
+    lo = F.floor(F.unix_timestamp(F.col(start)) / bs)
+    hi = F.floor(F.unix_timestamp(F.col(end)) / bs)
+    b_int = (
+        intervals
+        .filter(F.col(start) <= F.col(end))
+        .withColumn("__bucket", F.explode(F.sequence(lo, hi)))
+    )
     return (
         b_pts.join(b_int, [key, "__bucket"])
         .filter(F.col(ts).between(F.col(start), F.col(end)))

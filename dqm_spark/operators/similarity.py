@@ -175,20 +175,31 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
-def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
-             vec: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
-    """IVF: centroids = every (n/n_cells)-th vector by id (deterministic,
-    k-means-free); each vector is assigned to its nearest centroid, each
-    query probes the n_probe nearest cells."""
-    spark = df.sparkSession
+def _ivf_centroids(df: DataFrame, vec: str, id_col: str,
+                   n_cells: int) -> np.ndarray:
+    """The n_cells vectors with the smallest md5(id), L2-normalized — a
+    deterministic hash-spread centroid sample (TakeOrderedAndProject on
+    the hash, not a full sort)."""
     cents = (
-        df.orderBy(id_col).limit(n_cells)
+        df.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
         .select(id_col, vec).collect()
     )
     cmat = np.array([r[vec] for r in cents], dtype=np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast(cmat)
+    return cmat
+
+
+def _ivf_cell_assignments(df: DataFrame, vec: str = "embedding",
+                          id_col: str = "vec_id", n_cells: int = 16,
+                          centroids: np.ndarray | None = None) -> DataFrame:
+    """df plus a `cell` column = nearest hash-spread centroid (the same
+    selection ivf_topk uses); exposed so tests can assert cell balance.
+    Pass `centroids` to reuse an already-computed matrix."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = _ivf_centroids(df, vec, id_col, n_cells)
+    bc = spark.sparkContext.broadcast(centroids)
 
     @pandas_udf("int")
     def cell_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -197,6 +208,24 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
             m = np.array(vecs.tolist(), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             yield pd.Series((m @ cm.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("cell", cell_of(F.col(vec)))
+
+
+def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
+             vec: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF: centroids = the n_cells vectors with the smallest
+    md5(id) — a deterministic hash-spread sample (k-means-free). An
+    id-ordered prefix would pick whatever cluster happens to own the low
+    ids and skew cell sizes; hash order is uncorrelated with insertion
+    order and embedding geometry, so cells stay balanced. Each vector is
+    assigned to its nearest centroid; each query probes the n_probe
+    nearest cells. The centroid pick is TakeOrderedAndProject (top-k on
+    the hash), not a full sort."""
+    spark = df.sparkSession
+    cmat = _ivf_centroids(df, vec, id_col, n_cells)
+    bc = spark.sparkContext.broadcast(cmat)
 
     @pandas_udf("array<int>")
     def probe_cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -207,7 +236,7 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
             order = np.argsort(-(m @ cm.T), axis=1)[:, :n_probe]
             yield pd.Series(list(order.astype(np.int32)))
 
-    c = df.withColumn("cell", cell_of(F.col(vec)))
+    c = _ivf_cell_assignments(df, vec, id_col, n_cells, centroids=cmat)
     q = (
         query_df.withColumn("cells", probe_cells(F.col(vec)))
         .select(F.col(id_col).alias("query_id"),

@@ -27,7 +27,11 @@ def streaming_exact_dedup(stream_df: DataFrame, content: str = "content",
     """First occurrence of each content fingerprint passes; duplicates
     arriving within `watermark` (event time on ts_col) are dropped.
     Input must be a streaming DataFrame with an event-time column."""
-    fp = F.md5(F.coalesce(F.col(content), F.lit("")))
+    # NULL content must stay distinguishable from empty-string content
+    # (batch exact dedup keeps them apart); the '<null>' sentinel cannot
+    # collide with any md5 hex digest.
+    fp = F.when(F.col(content).isNull(), F.lit("<null>")) \
+        .otherwise(F.md5(F.col(content)))
     return (
         stream_df.withColumn("content_fp", fp)
         .withWatermark(ts_col, watermark)

@@ -151,6 +151,28 @@ def test_range_join_no_duplicate_matches(spark):
     assert sorted(out.pid.tolist()) == [1, 2]  # pid 3 is outside
 
 
+def test_range_join_inverted_interval_dropped(spark):
+    """A malformed interval with end < start must be dropped, not exploded
+    into a descending (or astronomically long) bucket sequence."""
+    import pandas as pd
+    from dqm_spark.operators.rangejoin import range_join
+    pts = pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": pd.to_datetime(["2026-01-01 00:05", "2026-01-01 03:00"]),
+        "pid": [1, 2],
+    })
+    iv = pd.DataFrame({
+        "k": ["a", "a"],
+        # row 0 valid; row 1 inverted by ~10 years — with an unguarded
+        # F.sequence this would try to build a ~350k-element bucket list
+        "s": pd.to_datetime(["2026-01-01 00:00", "2036-01-01 00:00"]),
+        "e": pd.to_datetime(["2026-01-01 06:00", "2026-01-01 00:00"]),
+    })
+    out = range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                     "k", "ts", "s", "e", bucket_seconds=900).toPandas()
+    assert sorted(out.pid.tolist()) == [1, 2]  # only the valid interval
+
+
 def test_simhash_neighbor_independence():
     """Review regression: a doc's simhash must not depend on its batch
     neighbors (a reduceat clamp once truncated the last pair-ful row's

@@ -51,7 +51,17 @@ def test_oracle_parity(spark, name):
     g, w = _normalize(got), _normalize(want)
     for c in g.columns:
         gv, wv = g[c], w[c]
-        if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+        # dtype-strict: the driver hashes stringified values, so an int
+        # column on one side vs float64 on the other (DuckDB HUGEINT sums
+        # materialize as float64) hash-mismatches even when values agree.
+        int_kinds, float_kinds = set("iu"), set("f")
+        gk, wk = gv.dtype.kind, wv.dtype.kind
+        assert not (
+            (gk in int_kinds and wk in float_kinds)
+            or (gk in float_kinds and wk in int_kinds)
+        ), (f"{name}.{c}: dtype mismatch {gv.dtype} vs {wv.dtype} "
+            "(wrap the DuckDB sum in CAST(... AS BIGINT))")
+        if gk == "f" or wk == "f":
             ga = gv.to_numpy(dtype=float)
             wa = wv.to_numpy(dtype=float)
             ok = (np.isnan(ga) & np.isnan(wa)) | (np.abs(ga - wa) < 1e-9)

@@ -63,3 +63,20 @@ def test_lsh_recall(emb, queries, exact):
 def test_ivf_recall(emb, queries, exact):
     out = ivf_topk(emb, queries, k=K, n_cells=8, n_probe=4).toPandas()
     assert _recall(out, exact) >= 0.6
+
+
+def test_ivf_cells_balanced(emb):
+    """Hash-spread centroids must not leave cell sizes wildly skewed: no
+    cell may hold more than 4x its fair share (id-prefix centroids could
+    put most of the corpus in one cell)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from dqm_spark.operators.similarity import _ivf_cell_assignments
+
+    cells = _ivf_cell_assignments(emb, vec="embedding", id_col="vec_id",
+                                  n_cells=8)
+    sizes = (cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+             .toPandas()["n"].to_numpy())
+    n_total = sizes.sum()
+    assert len(sizes) >= 6          # nearly all cells non-empty
+    assert sizes.max() <= 4 * np.ceil(n_total / 8)

@@ -92,3 +92,26 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
         .write.mode("append").parquet(in_dir)
     out2 = _drain(spark, in_dir, ckpt, out_dir).toPandas()
     assert sorted(out2["content"]) == ["alpha", "beta", "new"]
+
+
+def test_streaming_dedup_null_vs_empty(spark, tmp_path):
+    """NULL content and empty-string content are distinct state keys (the
+    batch exact dedup keeps them apart; md5(coalesce(c, '')) conflated
+    them and silently dropped whichever arrived second)."""
+    tmp = str(tmp_path)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    out_dir = os.path.join(tmp, "out")
+    os.makedirs(in_dir)
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "content": ["", None, "", None],
+        "ingest_ts": [base + pd.Timedelta(seconds=s) for s in range(4)],
+    })
+    spark.createDataFrame(pdf, schema=_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    out = _drain(spark, in_dir, ckpt, out_dir).toPandas()
+    # one empty-string survivor AND one null survivor
+    assert len(out) == 2
+    assert out["content"].isna().sum() == 1
+    assert (out["content"] == "").sum() == 1
