@@ -91,6 +91,26 @@ def main() -> None:
         qf_sec = min(qf_sec, time.monotonic() - t0)
     timings["qf_pipeline"] = round(qf_sec, 4)
 
+    # wide-row stratum: 48 deterministic 2-5 MB files (~170 MB of content)
+    # through the full pipeline — times the scrub/scorer path on the
+    # multi-MB tail a real code corpus has, under the byte-capped Arrow
+    # batching (session.py maxBytesPerBatch). Cached like the main input.
+    wide_path = "/tmp/dqm_bench_cache/wide_files_n48"
+    if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
+        from dqm_spark.synth import gen_wide_spark
+        gen_wide_spark(spark, 48, partitions=min(CPUS, 16)) \
+            .write.mode("overwrite").parquet(wide_path)
+    from pyspark.sql import functions as _F
+    wide_mb = spark.read.parquet(wide_path) \
+        .agg(_F.sum(_F.length("content"))).collect()[0][0] / 1e6
+    wide_sec = float("inf")
+    for rep in range(2):
+        t0 = time.monotonic()
+        decisions(spark.read.parquet(wide_path), spark) \
+            .write.format("noop").mode("overwrite").save()
+        wide_sec = min(wide_sec, time.monotonic() - t0)
+    timings["qf_wide_rows"] = round(wide_sec, 4)
+
     qmap = entrymod.queries()
     if os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
         qmap = {}
@@ -112,6 +132,7 @@ def main() -> None:
         "qf_rows": QF_ROWS,
         "qf_sec": round(qf_sec, 4),
         "qf_files_per_sec": round(QF_ROWS / qf_sec, 1),
+        "qf_wide_mb_per_sec": round(wide_mb / wide_sec, 1),
     }))
     spark.stop()
 

@@ -122,6 +122,35 @@ def _commit_ledger(out_dir: str, rec: dict) -> None:
     os.replace(tmp, path)  # atomic commit — the resume point
 
 
+def _process_bucket(spark: SparkSession, k: int, files: list[str],
+                    out_dir: str, run_id: str, attempt: int) -> dict:
+    """One bucket end-to-end (decisions → metrics/alerts/lineage).
+    Pure worker: does NOT touch the ledger — the caller commits, so the
+    ledger stays single-writer even with parallel buckets."""
+    t0 = time.monotonic()
+    src = spark.read.parquet(*files)
+    dec = build_decisions(src, spark)
+    dec.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "decisions", f"bucket={k}")
+    )
+    dec_back = spark.read.parquet(
+        os.path.join(out_dir, "decisions", f"bucket={k}")
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    met = build_metrics(dec_back, run_id)
+    met.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "metrics", f"bucket={k}"))
+    build_alerts(met, spark).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "alerts", f"bucket={k}"))
+    build_lineage(dec_back, run_id, wall_ms, attempt).write.mode(
+        "overwrite").parquet(os.path.join(out_dir, "lineage", f"bucket={k}"))
+    agg = dec_back.selectExpr(
+        "count(*) as rows", "sum(cast(keep as long)) as kept").first()
+    return {"bucket": k, "run_id": run_id, "files": len(files),
+            "rows": agg["rows"], "kept": agg["kept"] or 0,
+            "wall_ms": wall_ms, "attempt": attempt}
+
+
 def run(
     spark: SparkSession,
     input_path: str,
@@ -129,8 +158,19 @@ def run(
     n_buckets: int = 8,
     run_id: str | None = None,
     resume: bool = True,
+    max_parallel_buckets: int = 1,
 ) -> dict:
-    """Full filter run over a parquet source_files dataset. Returns summary."""
+    """Full filter run over a parquet source_files dataset. Returns summary.
+
+    max_parallel_buckets > 1 runs that many bucket jobs concurrently from
+    driver threads (Spark sessions are thread-safe for concurrent
+    actions). Each bucket normally saturates the cluster on its own, so
+    the default stays sequential; parallelism hides per-bucket job setup
+    latency when bucket counts are high or buckets are small. Ledger
+    commits remain on the caller thread (single-writer, atomic per
+    bucket), so kill/resume semantics are identical to the sequential
+    path: at most max_parallel_buckets in-flight buckets are lost.
+    """
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     ensure_on_executors(spark)
     buckets = plan_buckets(input_path, n_buckets)
@@ -138,39 +178,40 @@ def run(
     summary = {"run_id": run_id, "buckets": len(buckets),
                "skipped": 0, "processed": 0, "rows": 0, "kept": 0}
 
+    todo: list[tuple[int, list[str]]] = []
     for k, files in enumerate(buckets):
         if k in done:
             summary["skipped"] += 1
             summary["rows"] += done[k]["rows"]
             summary["kept"] += done[k]["kept"]
-            continue
-        t0 = time.monotonic()
-        attempt = done.get(k, {}).get("attempt", 0) + 1
-        src = spark.read.parquet(*files)
-        dec = build_decisions(src, spark)
-        dec.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "decisions", f"bucket={k}")
-        )
-        dec_back = spark.read.parquet(
-            os.path.join(out_dir, "decisions", f"bucket={k}")
-        )
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        met = build_metrics(dec_back, run_id)
-        met.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "metrics", f"bucket={k}"))
-        build_alerts(met, spark).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "alerts", f"bucket={k}"))
-        build_lineage(dec_back, run_id, wall_ms, attempt).write.mode(
-            "overwrite").parquet(os.path.join(out_dir, "lineage", f"bucket={k}"))
-        agg = dec_back.selectExpr(
-            "count(*) as rows", "sum(cast(keep as long)) as kept").first()
-        rec = {"bucket": k, "run_id": run_id, "files": len(files),
-               "rows": agg["rows"], "kept": agg["kept"] or 0,
-               "wall_ms": wall_ms, "attempt": attempt}
-        _commit_ledger(out_dir, rec)
-        summary["processed"] += 1
-        summary["rows"] += rec["rows"]
-        summary["kept"] += rec["kept"]
+        else:
+            todo.append((k, files))
+
+    def _attempt(k: int) -> int:
+        return done.get(k, {}).get("attempt", 0) + 1
+
+    if max_parallel_buckets <= 1:
+        for k, files in todo:
+            rec = _process_bucket(spark, k, files, out_dir, run_id,
+                                  _attempt(k))
+            _commit_ledger(out_dir, rec)
+            summary["processed"] += 1
+            summary["rows"] += rec["rows"]
+            summary["kept"] += rec["kept"]
+    else:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+        with ThreadPoolExecutor(max_workers=max_parallel_buckets) as ex:
+            futs = {
+                ex.submit(_process_bucket, spark, k, files, out_dir,
+                          run_id, _attempt(k)): k
+                for k, files in todo
+            }
+            for fut in as_completed(futs):
+                rec = fut.result()  # re-raises worker failures
+                _commit_ledger(out_dir, rec)
+                summary["processed"] += 1
+                summary["rows"] += rec["rows"]
+                summary["kept"] += rec["kept"]
     return summary
 
 
@@ -182,12 +223,16 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--max-parallel-buckets", type=int, default=1,
+                    help="concurrent bucket jobs (driver threads); "
+                         "ledger stays single-writer")
     args = ap.parse_args()
 
     from .session import get_spark
     spark = get_spark("dqm-spark-runner")
     summary = run(spark, args.input, args.output, args.buckets,
-                  args.run_id, resume=not args.no_resume)
+                  args.run_id, resume=not args.no_resume,
+                  max_parallel_buckets=args.max_parallel_buckets)
     print(json.dumps(summary))
     spark.stop()
 

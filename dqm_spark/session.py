@@ -33,6 +33,12 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
         # scoring than 2048 — the numpy temporaries stay cache-resident
         # (dqm marshals bounded (n_frames x 256) blocks for the same reason)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # ... and a hard BYTE cap (Spark 4.x): a row-count cap alone does
+        # not bound memory once multi-MB files appear — 512 x 5 MB rows
+        # would be a 2.5 GB Arrow batch. With both set, a batch closes on
+        # whichever limit hits first, so wide-row strata stay bounded.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -66,6 +66,29 @@ def test_run_and_resume_identical(spark, tmp_path):
     assert s2["rows"] == N
 
 
+def test_run_parallel_buckets_identical_and_resumable(spark, tmp_path):
+    """max_parallel_buckets > 1 must produce byte-identical decisions and
+    keep the sequential path's ledger/resume semantics."""
+    inp = _write_input(spark, str(tmp_path))
+    out_seq = os.path.join(str(tmp_path), "out_seq")
+    out_par = os.path.join(str(tmp_path), "out_par")
+    run(spark, inp, out_seq, n_buckets=3, run_id="rs")
+    s1 = run(spark, inp, out_par, n_buckets=3, run_id="rp",
+             max_parallel_buckets=3)
+    assert s1["processed"] == 3
+    assert _decisions_signature(spark, out_par) == \
+        _decisions_signature(spark, out_seq)
+
+    # crash-resume still works with the parallel path
+    ledgers = sorted(glob.glob(os.path.join(out_par, "_ledger", "*.json")))
+    os.remove(ledgers[0])
+    s2 = run(spark, inp, out_par, n_buckets=3, run_id="rp",
+             max_parallel_buckets=3)
+    assert s2["skipped"] == 2 and s2["processed"] == 1
+    assert _decisions_signature(spark, out_par) == \
+        _decisions_signature(spark, out_seq)
+
+
 def test_run_outputs_exist(spark, tmp_path):
     inp = _write_input(spark, str(tmp_path), n=400, files=2)
     out = os.path.join(str(tmp_path), "out")

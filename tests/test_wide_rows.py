@@ -1,0 +1,65 @@
+"""Wide-row (multi-MB file) robustness: the pipeline must score and
+scrub 2-6 MB files correctly and with bounded Arrow batches.
+
+The base synthetic table averages ~1.4 KB/file; a real code corpus has a
+long tail of bundled/vendored multi-MB files. These tests pin (a) label +
+scrub parity vs the pure-pandas reference on a 5 MB doc, (b) the byte cap
+on Arrow batches (session.py maxBytesPerBatch) so a partition of wide
+rows cannot form a multi-GB batch, and (c) pandas==Spark generator
+parity for the wide stratum.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dqm_spark.pipeline import decisions
+from dqm_spark.synth import gen_wide_pandas, gen_wide_spark, wide_row_for_id
+
+from .reference_impl import run_reference
+
+
+def test_wide_row_is_multi_mb():
+    row = wide_row_for_id(0, mb=5)
+    assert len(row["content"]) >= 5_000_000
+    assert "\x00" not in row["content"]
+
+
+def test_wide_generator_pandas_spark_parity(spark):
+    want = gen_wide_pandas(3, mb=2)
+    got = (gen_wide_spark(spark, 3, partitions=2, mb=2)
+           .toPandas().sort_values("path").reset_index(drop=True))
+    want = want.sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def wide_frames(spark):
+    # 6 wide rows at 5 MB each (~30 MB content in one partition — with
+    # the 32 MB maxBytesPerBatch cap this forces at least one batch split
+    # inside the Arrow scorers rather than a single giant batch)
+    pdf = gen_wide_pandas(6, mb=5)
+    golden = run_reference(pdf).sort_values("path").reset_index(drop=True)
+    got = (
+        decisions(spark.createDataFrame(pdf).coalesce(1), spark)
+        .toPandas().sort_values("path").reset_index(drop=True)
+    )
+    return golden, got
+
+
+def test_wide_rows_label_parity(wide_frames):
+    golden, got = wide_frames
+    assert got["keep"].tolist() == golden["keep"].tolist()
+    for g, s in zip(golden["fired_rules"], got["fired_rules"]):
+        assert list(s) == list(g)
+
+
+def test_wide_rows_scrub_sha_parity(wide_frames):
+    golden, got = wide_frames
+    assert got["content_sha256"].tolist() == golden["content_sha256"].tolist()
+
+
+def test_session_caps_arrow_batch_bytes(spark):
+    got = spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch")
+    assert int(got) <= 64 * 1024 * 1024
