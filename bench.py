@@ -39,13 +39,23 @@ BENCH_QUERIES = [
 ]
 
 
+# Input file count is FIXED (not CPU-derived): parquet parallelism floors
+# at row-group granularity — maxPartitionBytes cannot split a file below
+# its row groups, and these files are single-row-group. A cache written
+# by a low-CPU run would silently cap every higher-CPU run at that file
+# count (this exact artifact produced the round-1 "8->32 doesn't scale"
+# plateau: the level-2 scaling run wrote 8 files and levels 8/32 reused
+# them, pinning effective parallelism at 8 tasks ~= 26% CPU busy).
+QF_INPUT_FILES = int(os.environ.get("SPARK_GRAFT_QF_FILES", "64"))
+
+
 def _qf_input(spark) -> str:
     """Materialize (once) the deterministic synthetic source_files table."""
-    path = f"/tmp/dqm_bench_cache/source_files_n{QF_ROWS}"
+    path = f"/tmp/dqm_bench_cache/source_files_n{QF_ROWS}_p{QF_INPUT_FILES}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from dqm_spark.synth import gen_spark
-        gen_spark(spark, QF_ROWS, partitions=max(CPUS * 2, 8)) \
+        gen_spark(spark, QF_ROWS, partitions=QF_INPUT_FILES) \
             .write.mode("overwrite").parquet(path)
     return path
 
@@ -80,10 +90,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # best-of-2: first pass still pays page-cache/JIT warmup; a 100 TB job
-    # runs at the steady-state rate
+    # best-of-N (default 2): first pass still pays page-cache/JIT warmup,
+    # and the sandbox host's vCPU availability wobbles run to run — a
+    # 100 TB job runs at the steady-state rate
+    reps = int(os.environ.get("SPARK_GRAFT_QF_REPS", "2"))
     qf_sec = float("inf")
-    for rep in range(2):
+    for rep in range(reps):
         t0 = time.monotonic()
         src = spark.read.parquet(inp)
         out_path = f"/tmp/dqm_bench_out/decisions_n{QF_ROWS}_{rep}"
@@ -95,21 +107,26 @@ def main() -> None:
     # through the full pipeline — times the scrub/scorer path on the
     # multi-MB tail a real code corpus has, under the byte-capped Arrow
     # batching (session.py maxBytesPerBatch). Cached like the main input.
-    wide_path = "/tmp/dqm_bench_cache/wide_files_n48"
-    if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
-        from dqm_spark.synth import gen_wide_spark
-        gen_wide_spark(spark, 48, partitions=min(CPUS, 16)) \
-            .write.mode("overwrite").parquet(wide_path)
-    from pyspark.sql import functions as _F
-    wide_mb = spark.read.parquet(wide_path) \
-        .agg(_F.sum(_F.length("content"))).collect()[0][0] / 1e6
-    wide_sec = float("inf")
-    for rep in range(2):
-        t0 = time.monotonic()
-        decisions(spark.read.parquet(wide_path), spark) \
-            .write.format("noop").mode("overwrite").save()
-        wide_sec = min(wide_sec, time.monotonic() - t0)
-    timings["qf_wide_rows"] = round(wide_sec, 4)
+    # Skipped in scaling runs (SPARK_GRAFT_SKIP_SUITE) where only the
+    # headline qf throughput is compared across parallelism levels.
+    wide_mb, wide_sec = 0.0, float("inf")
+    if not os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
+        wide_path = "/tmp/dqm_bench_cache/wide_files_n48"
+        if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
+            from dqm_spark.synth import gen_wide_spark
+            gen_wide_spark(spark, 48, partitions=min(CPUS, 16)) \
+                .write.mode("overwrite").parquet(wide_path)
+        from pyspark.sql import functions as _F
+        wide_mb = spark.read.parquet(wide_path) \
+            .agg(_F.sum(_F.length("content"))).collect()[0][0] / 1e6
+        for rep in range(2):
+            t0 = time.monotonic()
+            decisions(spark.read.parquet(wide_path), spark) \
+                .write.format("noop").mode("overwrite").save()
+            wide_sec = min(wide_sec, time.monotonic() - t0)
+        # reported as its own key (qf_wide_sec / qf_wide_mb_per_sec), NOT
+        # added to timings: the summed "value" must stay comparable with
+        # earlier BENCH_r*.json snapshots that predate the wide-row bench
 
     qmap = entrymod.queries()
     if os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
@@ -122,6 +139,15 @@ def main() -> None:
         assert n >= 0
 
     total = round(sum(timings.values()), 4)
+    # attach the most recent scaling curve + Spark-free machine-capacity
+    # control (bench_scaling.py writes it with a UTC timestamp) so every
+    # BENCH_r*.json snapshot carries the N->4N evidence alongside it
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            scaling = json.load(fh)
     print(json.dumps({
         "metric": "qf_pipeline+query_suite_wall",
         "value": total,
@@ -132,7 +158,10 @@ def main() -> None:
         "qf_rows": QF_ROWS,
         "qf_sec": round(qf_sec, 4),
         "qf_files_per_sec": round(QF_ROWS / qf_sec, 1),
-        "qf_wide_mb_per_sec": round(wide_mb / wide_sec, 1),
+        "qf_wide_sec": round(wide_sec, 4) if wide_mb else None,
+        "qf_wide_mb_per_sec": (
+            round(wide_mb / wide_sec, 1) if wide_mb else None),
+        "scaling": scaling,
     }))
     spark.stop()
 

@@ -1,0 +1,73 @@
+"""Spark-free control for the N→4N scaling evidence: measures the VM's
+aggregate throughput ceiling on the pipeline's own numpy scorer kernel
+with plain multiprocessing (no JVM, no shuffle, embarrassingly parallel).
+
+If this curve flattens/declines past P processes, the host grants ~P
+effective cores that day, and any Spark local[>P] plateau is a machine
+property, not a plan property. Prints one JSON line; bench.py embeds the
+result so every BENCH_r*.json carries a same-run capacity control.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# sized so per-process WORK (~4 s) dominates spawn+import (~1 s); small
+# values would measure startup amortization, not throughput
+ROWS_PER_PROC = int(os.environ.get("SPARK_GRAFT_CAP_ROWS", "40000"))
+LEVELS = (1, 2, 4, 8, 16, 32)
+CHUNK = 512
+
+
+def _work(n_rows: int) -> tuple[int, float]:
+    """Returns (rows scored, seconds of SCORING time). Import, data
+    setup, and one warmup batch happen before the clock starts — we are
+    measuring the machine's steady-state compute ceiling, not process
+    spawn/import cost (which a long-lived worker pool amortizes away)."""
+    from dqm_spark.models.langid import predict_batch
+    from dqm_spark.synth import row_for_id
+
+    texts = [row_for_id(i)["content"] for i in range(256)]
+    predict_batch(texts[:CHUNK])  # warmup: numpy first-touch, JIT paths
+    t0 = time.monotonic()
+    done = 0
+    while done < n_rows:
+        batch = [texts[(done + j) % 256] for j in range(CHUNK)]
+        predict_batch(batch)
+        done += CHUNK
+    return done, time.monotonic() - t0
+
+
+def measure(procs: int) -> float:
+    """Aggregate rows/s: total rows over the SLOWEST worker's scoring
+    window (workers run concurrently after their individual warmups)."""
+    with mp.get_context("spawn").Pool(procs) as pool:
+        results = pool.map(_work, [ROWS_PER_PROC] * procs)
+    rows = sum(r for r, _ in results)
+    return rows / max(t for _, t in results)
+
+
+def main() -> None:
+    out = {}
+    for p in LEVELS:
+        # warm the pool-spawn path once at the first level
+        rate = measure(p)
+        out[str(p)] = round(rate, 1)
+    peak = max(out, key=lambda k: out[k])
+    print(json.dumps({
+        "kernel": "langid scorer rows/s, multiprocessing, no Spark",
+        "rows_per_proc": ROWS_PER_PROC,
+        "levels": out,
+        "peak_procs": int(peak),
+        "eff_8_to_32_ceiling": round(out["32"] / (4 * out["8"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Train/test decontamination: flag corpus docs sharing any word n-gram
+with a benchmark (eval-set) corpus.
+
+The standard LLM-corpus hygiene pass: before training, remove (or mark)
+documents that contain verbatim n-gram overlap with evaluation
+benchmarks, so measured accuracy is not memorization. dqm analog: the
+channel-map integrity checks — membership of a record's features in a
+known reference set drives a per-record verdict
+(/root/reference/include/dqm/algs.hpp channel-map checks).
+
+Scale shape (100 TB corpus, benchmark ~1e3-1e7 n-grams):
+* the benchmark side is SMALL relative to the corpus — distinct its
+  n-grams once and BROADCAST them; the corpus side then streams through
+  a broadcast hash join with ZERO corpus shuffle.
+* the corpus explode is bounded per doc (n_words - n + 1 rows) and is
+  immediately collapsed by a per-doc distinct + the join, so no
+  unbounded fan-out survives the stage.
+* join on the n-gram STRING, not a hash: with a broadcast join there is
+  no shuffle to shrink, string equality costs a hash probe anyway, and
+  exactness is preserved (no collision caveat). If the benchmark ever
+  outgrows broadcast range, switch to xxhash64 keys + shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(col, n: int):
+    """array of space-joined word n-grams of a string column (words =
+    maximal non-whitespace runs; docs with < n words yield [])."""
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    cnt = F.size(words) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice(words, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        content: str = "text", id_col: str = "doc_id",
+                        bench_content: str = "text",
+                        n: int = 8) -> DataFrame:
+    """(id_col, n_hits) for every corpus doc sharing >= 1 word n-gram
+    with the benchmark; n_hits = number of DISTINCT shared n-grams.
+    Docs with zero overlap are absent (anti-join them to get the clean
+    set)."""
+    bench_grams = (
+        benchmark
+        .select(F.explode(word_ngrams(F.col(bench_content), n))
+                .alias("gram"))
+        .distinct()
+    )
+    # per-doc dedup happens INSIDE the row (array_distinct before the
+    # explode), not via dropDuplicates — a dropDuplicates([id, gram])
+    # here would shuffle the full exploded corpus-gram stream before the
+    # broadcast join prunes it, which is exactly the cost this operator
+    # exists to avoid. After this, (id, gram) is already unique, so the
+    # corpus side reaches the join with zero exchanges.
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(content), n)))
+        .alias("gram"))
+    return (
+        corpus_grams
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

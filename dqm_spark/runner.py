@@ -199,19 +199,47 @@ def run(
             summary["rows"] += rec["rows"]
             summary["kept"] += rec["kept"]
     else:
-        from concurrent.futures import ThreadPoolExecutor, as_completed
-        with ThreadPoolExecutor(max_workers=max_parallel_buckets) as ex:
-            futs = {
-                ex.submit(_process_bucket, spark, k, files, out_dir,
-                          run_id, _attempt(k)): k
-                for k, files in todo
-            }
-            for fut in as_completed(futs):
-                rec = fut.result()  # re-raises worker failures
+        from concurrent.futures import CancelledError, ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=max_parallel_buckets)
+        futs = [
+            ex.submit(_process_bucket, spark, k, files, out_dir,
+                      run_id, _attempt(k))
+            for k, files in todo
+        ]
+        # Drain in SUBMISSION order with fut.result(), NOT as_completed():
+        # shutdown(cancel_futures=True) cancels still-queued work items
+        # without ever running set_running_or_notify_cancel, so an
+        # as_completed() that is already waiting on such a future is
+        # never woken — a permanent hang (reproduced under pytest).
+        # result() reads the future's state directly (instant
+        # CancelledError for drained items), so this loop cannot hang;
+        # commit order may lag completion order, which only affects how
+        # much an ill-timed kill re-runs on resume.
+        first_err: BaseException | None = None
+        try:
+            for fut in futs:
+                try:
+                    rec = fut.result()
+                except CancelledError:
+                    continue
+                except BaseException as e:
+                    # first failure: cancel QUEUED buckets (don't waste
+                    # full Spark jobs whose ledger would never commit),
+                    # but keep draining — in-flight buckets that finish
+                    # successfully still get their ledger rows, so a
+                    # resume redoes only the failed + cancelled ones.
+                    if first_err is None:
+                        first_err = e
+                        ex.shutdown(wait=False, cancel_futures=True)
+                    continue
                 _commit_ledger(out_dir, rec)
                 summary["processed"] += 1
                 summary["rows"] += rec["rows"]
                 summary["kept"] += rec["kept"]
+        finally:
+            ex.shutdown(wait=True)
+        if first_err is not None:
+            raise first_err
     return summary
 
 

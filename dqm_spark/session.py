@@ -41,7 +41,14 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
                 str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor, so size its heap
+        # with the core count (~1 GB/core, the standard executor sizing;
+        # floor 8g). An 8g heap with 32 concurrent parquet writers
+        # GC-thrashes — measured 2.2x qf throughput at local[32] moving
+        # 8g -> 32g on a 2M-row run. On a real cluster this maps to
+        # spark.executor.memory per executor, not the driver.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,69 @@
+"""Train/test decontamination operator: planted n-gram overlap, word
+tokenization edges, and the zero-corpus-shuffle broadcast plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.decontam import ngram_decontaminate, word_ngrams
+
+
+def test_planted_overlap(spark):
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # contains benchmark sentence verbatim
+            "intro words here the quick brown fox jumps over the lazy dog end",
+            # 7-word overlap only (one short of n=8) -> clean
+            "quick brown fox jumps over the lazy cat",
+            # no overlap
+            "completely different content with many unrelated words in it",
+            # overlap split by extra whitespace/newlines -> still hits
+            "the quick   brown\nfox jumps over\tthe lazy dog",
+        ],
+    })
+    bench = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    })
+    out = (ngram_decontaminate(spark.createDataFrame(corpus),
+                               spark.createDataFrame(bench), n=8)
+           .toPandas().set_index("doc_id").sort_index())
+    assert sorted(out.index.tolist()) == [0, 3]
+    # benchmark sentence has 9 words -> two 8-grams, both present in doc 0
+    assert out.loc[0, "n_hits"] == 2
+    assert out.loc[3, "n_hits"] == 2
+
+
+def test_short_docs_yield_no_grams(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["only three words"]}))
+    out = df.select(word_ngrams("text", 8).alias("g")).collect()
+    assert out[0]["g"] == []
+
+
+def test_broadcast_zero_corpus_shuffle(spark):
+    """The corpus side must reach the join without an Exchange (benchmark
+    broadcast); the only exchange is the final per-doc aggregation."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20),
+                      "text": ["some words repeated here many times over "
+                               "and over again padding padding"] * 20}))
+    bench = corpus.limit(2)
+    plan = ngram_decontaminate(corpus, bench, n=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the CORPUS (streamed) side must reach the broadcast join with zero
+    # exchanges (per-doc gram dedup is array_distinct inside the row,
+    # never a dropDuplicates). The streamed branch is printed between the
+    # join line and its BroadcastExchange build side. Shuffles elsewhere
+    # are expected and benign: the benchmark-side distinct (small by
+    # contract) and the final per-doc aggregation.
+    lines = plan.splitlines()
+    join_i = next(i for i, ln in enumerate(lines)
+                  if "BroadcastHashJoin" in ln)
+    bcast_i = next(i for i, ln in enumerate(lines)
+                   if i > join_i and "BroadcastExchange" in ln)
+    streamed = "\n".join(lines[join_i + 1:bcast_i])
+    assert "Exchange hashpartitioning" not in streamed, plan

@@ -130,6 +130,29 @@ def test_asof_join_semantics(spark):
     assert set(out.columns) >= {"k", "ts", "v_asof"}
 
 
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    """When several right rows share (key, ts), the winner must be the
+    same regardless of input partitioning (stable xxhash64 tie-break),
+    and all value columns must come from that one winning row."""
+    import pandas as pd
+    from dqm_spark.operators.asof import asof_join
+    left = pd.DataFrame({"k": ["a"], "ts": [10], "lid": [1]})
+    right = pd.DataFrame({
+        "k": ["a"] * 3, "ts": [10, 10, 10],
+        "v": [1.0, 2.0, 3.0], "tag": ["x", "y", "z"],
+    })
+    picks = []
+    for parts in (1, 3, 7):
+        r = spark.createDataFrame(right).repartition(parts)
+        out = asof_join(spark.createDataFrame(left), r, "k", "ts",
+                        ["v", "tag"]).toPandas()
+        picks.append((out.loc[0, "v_asof"], out.loc[0, "tag_asof"]))
+    assert len(set(picks)) == 1          # partitioning-independent
+    v, tag = picks[0]
+    # struct marker: both outputs from the SAME right row
+    assert {(1.0, "x"), (2.0, "y"), (3.0, "z")} >= {(v, tag)}
+
+
 def test_range_join_no_duplicate_matches(spark):
     """A point inside an interval matches exactly once regardless of how
     many buckets the interval spans."""

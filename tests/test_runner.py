@@ -89,6 +89,38 @@ def test_run_parallel_buckets_identical_and_resumable(spark, tmp_path):
         _decisions_signature(spark, out_seq)
 
 
+def test_run_parallel_bucket_failure_commits_successes(
+        spark, tmp_path, monkeypatch):
+    """One failed bucket must not discard other buckets' ledger commits:
+    successful buckets stay committed, the error propagates, and a
+    resume redoes only the failed bucket."""
+    import dqm_spark.runner as runner_mod
+    inp = _write_input(spark, str(tmp_path))
+    out = os.path.join(str(tmp_path), "out_fail")
+
+    real = runner_mod._process_bucket
+    failed_once = []
+
+    def flaky(spark_, k, files, out_dir, run_id, attempt):
+        if k == 1 and not failed_once:
+            failed_once.append(k)
+            raise RuntimeError("injected bucket failure")
+        return real(spark_, k, files, out_dir, run_id, attempt)
+
+    monkeypatch.setattr(runner_mod, "_process_bucket", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        run(spark, inp, out, n_buckets=3, run_id="rf",
+            max_parallel_buckets=3)
+    done = completed_buckets(out)
+    assert 1 not in done                 # failed bucket not committed
+    assert len(done) >= 1                # successful in-flight buckets are
+
+    s = run(spark, inp, out, n_buckets=3, run_id="rf",
+            max_parallel_buckets=3)      # resume: only the gap reruns
+    assert s["rows"] == N
+    assert len(completed_buckets(out)) == 3
+
+
 def test_run_outputs_exist(spark, tmp_path):
     inp = _write_input(spark, str(tmp_path), n=400, files=2)
     out = os.path.join(str(tmp_path), "out")
