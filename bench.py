@@ -131,12 +131,17 @@ def main() -> None:
     qmap = entrymod.queries()
     if os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
         qmap = {}
+    # best-of-2 per query, same reasoning as the headline: first pass pays
+    # page-cache warmup for that query's tables and host noise is ±30%
     for name in (BENCH_QUERIES if qmap else []):
-        t0 = time.monotonic()
-        df = qmap[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 4)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qmap[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.monotonic() - t0)
+            assert n >= 0
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     # attach the most recent scaling curve + Spark-free machine-capacity

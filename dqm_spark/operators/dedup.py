@@ -329,6 +329,54 @@ def cross_doc_line_dedup(df: DataFrame, content: str, id_col: str,
     )
 
 
+def within_doc_paragraph_dedup(df: DataFrame, content: str,
+                               id_col: str) -> DataFrame:
+    """Intra-document repeated-paragraph removal (the Gopher repetition
+    REPAIR step, where textstats.repetition_stats is the detector): each
+    paragraph (split on blank line, i.e. "\\n\\n") is kept only at its
+    first occurrence WITHIN the doc; later identical paragraphs are
+    dropped and the doc is reassembled in order.
+
+    Returns (id, n_paras, n_paras_kept, dedup_sha) — dedup_sha =
+    sha256 of the reassembled text, so equality is checkable without
+    shipping the content.
+
+    Scale shape: everything is keyed by the doc id — posexplode, a
+    per-(doc, paragraph) min-position window, and one collect_list per
+    doc. Paragraph counts are bounded per doc, docs hash-spread across
+    partitions, so no corpus-wide key can concentrate (unlike cross-doc
+    line dedup, which elects winners globally and needs the two-stage
+    agg). Entirely JVM codegen + window — no Python.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content), "\n\n")).alias("pos", "para"),
+    )
+    w = Window.partitionBy(id_col, "para")
+    kept = (
+        paras.withColumn("first_pos", F.min("pos").over(w))
+        .withColumn("is_first", F.col("pos") == F.col("first_pos"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_first").cast("long")).alias("n_paras_kept"),
+            F.sha2(
+                F.concat_ws(
+                    "\n\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("is_first"),
+                                   F.struct("pos", "para")))),
+                        lambda s: s["para"]),
+                ), 256).alias("dedup_sha"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard (verification / standalone)
 # ---------------------------------------------------------------------------

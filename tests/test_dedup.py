@@ -130,6 +130,30 @@ def test_asof_join_semantics(spark):
     assert set(out.columns) >= {"k", "ts", "v_asof"}
 
 
+def test_within_doc_paragraph_dedup(spark):
+    """First occurrence of each paragraph survives, order preserved,
+    unique paragraphs untouched."""
+    import hashlib
+    import pandas as pd
+    from dqm_spark.operators.dedup import within_doc_paragraph_dedup
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta",   # dups of alpha, beta
+            "only\n\none\n\nhere",                        # no dups
+        ],
+    })
+    out = (within_doc_paragraph_dedup(spark.createDataFrame(docs),
+                                      "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "n_paras"] == 5 and out.loc[0, "n_paras_kept"] == 3
+    want0 = hashlib.sha256(b"alpha\n\nbeta\n\ngamma").hexdigest()
+    assert out.loc[0, "dedup_sha"] == want0
+    assert out.loc[1, "n_paras"] == 3 and out.loc[1, "n_paras_kept"] == 3
+    want1 = hashlib.sha256(b"only\n\none\n\nhere").hexdigest()
+    assert out.loc[1, "dedup_sha"] == want1
+
+
 def test_asof_join_equal_ts_tiebreak_deterministic(spark):
     """When several right rows share (key, ts), the winner must be the
     same regardless of input partitioning (stable xxhash64 tie-break),
