@@ -52,6 +52,9 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    repetition_filter: bool = False,
                    max_dup_line_char_frac: float = 0.5,
                    sequence_dedup: bool = False,
+                   paragraph_dedup: bool = False,
+                   decontaminate_against: DataFrame | None = None,
+                   decontam_ngram: int = 8,
                    mixture: dict[str, int] | None = None) -> CorpusResult:
     """repetition_filter adds a Gopher-style stage: drop docs whose
     duplicate-line character fraction exceeds max_dup_line_char_frac
@@ -64,6 +67,17 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
     occurrence only) BEFORE scoring — content entering decisions() is the
     deduped text, so the per-row sha256 certifies the deduped bytes. Also
     OFF by default for the same invariant reason.
+
+    paragraph_dedup=True rewrites each surviving doc through
+    dedup.within_doc_paragraph_dedup (repeated paragraphs kept at first
+    in-doc occurrence) before scoring — doc-local keys only, so it adds
+    no corpus-wide shuffle risk. OFF by default (F1 invariant).
+
+    decontaminate_against: a benchmark/eval DataFrame with a `content`
+    column; docs sharing any word `decontam_ngram`-gram with it are
+    DROPPED (train/test decontamination) and flagged in dedup_audit as
+    `contaminated`. Runs after dedup so the n-gram explode pays only for
+    dedup survivors; benchmark n-grams broadcast (zero corpus shuffle).
 
     mixture (e.g. {'python': 100, 'go': 25}) applies per-lang
     deterministic down-sampling FIRST — before any dedup — so every later
@@ -105,6 +119,23 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
         ~F.col("exact_dup") & ~F.col("near_dup") & ~F.col("repetitive"))
 
     survivors = keyed.join(survivors_ids.select("__id"), "__id")
+    if decontaminate_against is not None:
+        from .operators.decontam import ngram_decontaminate
+        hits = ngram_decontaminate(
+            survivors, decontaminate_against, content="content",
+            id_col="__id", bench_content="content", n=decontam_ngram,
+        ).select("__id", F.lit(True).alias("contaminated"))
+        audit = audit.join(hits, "__id", "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False)))
+        survivors = survivors.join(hits.select("__id"), "__id", "left_anti")
+    else:
+        audit = audit.withColumn("contaminated", F.lit(False))
+    if paragraph_dedup:
+        from .operators.dedup import within_doc_paragraph_dedup
+        para = within_doc_paragraph_dedup(
+            survivors, "content", "__id", keep_content=True,
+        ).select("__id", F.col("dedup_content").alias("content"))
+        survivors = survivors.drop("content").join(para, "__id")
     if sequence_dedup:
         from .operators.dedup import cross_doc_line_dedup
         rewritten = cross_doc_line_dedup(survivors, "content", "__id") \

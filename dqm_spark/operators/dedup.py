@@ -330,7 +330,8 @@ def cross_doc_line_dedup(df: DataFrame, content: str, id_col: str,
 
 
 def within_doc_paragraph_dedup(df: DataFrame, content: str,
-                               id_col: str) -> DataFrame:
+                               id_col: str,
+                               keep_content: bool = False) -> DataFrame:
     """Intra-document repeated-paragraph removal (the Gopher repetition
     REPAIR step, where textstats.repetition_stats is the detector): each
     paragraph (split on blank line, i.e. "\\n\\n") is kept only at its
@@ -339,7 +340,8 @@ def within_doc_paragraph_dedup(df: DataFrame, content: str,
 
     Returns (id, n_paras, n_paras_kept, dedup_sha) — dedup_sha =
     sha256 of the reassembled text, so equality is checkable without
-    shipping the content.
+    shipping the content. keep_content=True adds the reassembled text
+    itself as `dedup_content` (for pipeline composition).
 
     Scale shape: everything is keyed by the doc id — posexplode, a
     per-(doc, paragraph) min-position window, and one collect_list per
@@ -359,22 +361,21 @@ def within_doc_paragraph_dedup(df: DataFrame, content: str,
         paras.withColumn("first_pos", F.min("pos").over(w))
         .withColumn("is_first", F.col("pos") == F.col("first_pos"))
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum(F.col("is_first").cast("long")).alias("n_paras_kept"),
-            F.sha2(
-                F.concat_ws(
-                    "\n\n",
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.when(F.col("is_first"),
-                                   F.struct("pos", "para")))),
-                        lambda s: s["para"]),
-                ), 256).alias("dedup_sha"),
-        )
+    reassembled = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("is_first"), F.struct("pos", "para")))),
+            lambda s: s["para"]),
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("is_first").cast("long")).alias("n_paras_kept"),
+        F.sha2(reassembled, 256).alias("dedup_sha"),
+    ]
+    if keep_content:
+        aggs.append(reassembled.alias("dedup_content"))
+    return kept.groupBy(id_col).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

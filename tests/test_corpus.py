@@ -110,6 +110,49 @@ def test_sequence_dedup_stage_rewrites_content(spark):
     assert dec.loc[loser, "content_sha256"] == want
 
 
+def test_decontaminate_stage_drops_overlapping_docs(spark):
+    bench_sentence = ("the eval benchmark asks exactly this question "
+                      "about widgets")
+    clean_body = "\n".join(f"val{j} = compute({j})" for j in range(15))
+    docs = pd.DataFrame({
+        "repo": "r", "path": ["contaminated.py", "clean.py"],
+        "commit": "c" * 40, "lang": "python",
+        "content": [f"# {bench_sentence}\n{clean_body}", clean_body],
+    })
+    bench = pd.DataFrame({"content": [bench_sentence]})
+    from dqm_spark.qfconfig import QFConfig
+    res = prepare_corpus(spark.createDataFrame(docs), spark,
+                         cfg=QFConfig(enable_scoring=False),
+                         near_dedup=False,
+                         decontaminate_against=spark.createDataFrame(bench))
+    kept_paths = set(res.kept.toPandas()["path"])
+    assert "contaminated.py" not in kept_paths
+    assert "clean.py" in kept_paths
+    audit = res.dedup_audit.toPandas().set_index("path")
+    assert bool(audit.loc["contaminated.py", "contaminated"])
+    assert not bool(audit.loc["clean.py", "contaminated"])
+
+
+def test_paragraph_dedup_stage_rewrites_content(spark):
+    para = "def helper():\n    return 42"
+    body = "\n".join(f"x{j} = {j}" for j in range(12))
+    docs = pd.DataFrame({
+        "repo": "r", "path": ["repeaty.py"],
+        "commit": "c" * 40, "lang": "python",
+        "content": [f"{para}\n\n{body}\n\n{para}"],
+    })
+    from dqm_spark.qfconfig import QFConfig
+    res = prepare_corpus(spark.createDataFrame(docs), spark,
+                         cfg=QFConfig(enable_scoring=False),
+                         near_dedup=False, paragraph_dedup=True)
+    dec = res.decisions.toPandas().set_index("path")
+    out = dec.loc["repeaty.py", "scrubbed_content"]
+    assert out == f"{para}\n\n{body}"
+    import hashlib
+    assert dec.loc["repeaty.py", "content_sha256"] == \
+        hashlib.sha256(out.encode()).hexdigest()
+
+
 def test_mixture_stage_filters_langs_before_dedup(spark):
     pdf = gen_pandas(500)
     res = prepare_corpus(spark.createDataFrame(pdf), spark,
