@@ -111,10 +111,15 @@ def main() -> None:
     # headline qf throughput is compared across parallelism levels.
     wide_mb, wide_sec = 0.0, float("inf")
     if not os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
-        wide_path = "/tmp/dqm_bench_cache/wide_files_n48"
+        # fixed file count, keyed into the cache path — a CPU-derived
+        # layout written by a low-CPU run would silently cap every later
+        # run's parallelism at its row-group count (same trap as
+        # QF_INPUT_FILES above)
+        wide_files = 16
+        wide_path = f"/tmp/dqm_bench_cache/wide_files_n48_p{wide_files}"
         if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
             from dqm_spark.synth import gen_wide_spark
-            gen_wide_spark(spark, 48, partitions=min(CPUS, 16)) \
+            gen_wide_spark(spark, 48, partitions=wide_files) \
                 .write.mode("overwrite").parquet(wide_path)
         from pyspark.sql import functions as _F
         wide_mb = spark.read.parquet(wide_path) \

@@ -134,8 +134,16 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
         from .operators.dedup import within_doc_paragraph_dedup
         para = within_doc_paragraph_dedup(
             survivors, "content", "__id", keep_content=True,
-        ).select("__id", F.col("dedup_content").alias("content"))
-        survivors = survivors.drop("content").join(para, "__id")
+        ).select("__id", "dedup_content")
+        # LEFT join + coalesce: NULL-content docs produce no paragraph
+        # rows (split(NULL) explodes to nothing) — an inner join would
+        # silently delete them, but they must reach decisions() so the
+        # empty_content rule owns them, same as every other stage
+        survivors = (
+            survivors.join(para, "__id", "left")
+            .withColumn("content",
+                        F.coalesce("dedup_content", "content"))
+            .drop("dedup_content"))
     if sequence_dedup:
         from .operators.dedup import cross_doc_line_dedup
         rewritten = cross_doc_line_dedup(survivors, "content", "__id") \

@@ -192,14 +192,20 @@ def _ivf_centroids(df: DataFrame, vec: str, id_col: str,
 
 def _ivf_cell_assignments(df: DataFrame, vec: str = "embedding",
                           id_col: str = "vec_id", n_cells: int = 16,
-                          centroids: np.ndarray | None = None) -> DataFrame:
+                          centroids=None) -> DataFrame:
     """df plus a `cell` column = nearest hash-spread centroid (the same
     selection ivf_topk uses); exposed so tests can assert cell balance.
-    Pass `centroids` to reuse an already-computed matrix."""
+    `centroids` accepts a matrix OR an existing Broadcast of one (so
+    ivf_topk's probe/assign stages share a single broadcast)."""
+    from pyspark import Broadcast
+
     spark = df.sparkSession
-    if centroids is None:
-        centroids = _ivf_centroids(df, vec, id_col, n_cells)
-    bc = spark.sparkContext.broadcast(centroids)
+    if isinstance(centroids, Broadcast):
+        bc = centroids
+    else:
+        if centroids is None:
+            centroids = _ivf_centroids(df, vec, id_col, n_cells)
+        bc = spark.sparkContext.broadcast(centroids)
 
     @pandas_udf("int")
     def cell_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -236,7 +242,7 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
             order = np.argsort(-(m @ cm.T), axis=1)[:, :n_probe]
             yield pd.Series(list(order.astype(np.int32)))
 
-    c = _ivf_cell_assignments(df, vec, id_col, n_cells, centroids=cmat)
+    c = _ivf_cell_assignments(df, vec, id_col, n_cells, centroids=bc)
     q = (
         query_df.withColumn("cells", probe_cells(F.col(vec)))
         .select(F.col(id_col).alias("query_id"),

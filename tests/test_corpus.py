@@ -153,6 +153,26 @@ def test_paragraph_dedup_stage_rewrites_content(spark):
         hashlib.sha256(out.encode()).hexdigest()
 
 
+def test_paragraph_dedup_keeps_null_content_docs(spark):
+    """Review regression: split(NULL) explodes to zero paragraph rows, so
+    an inner join would silently delete NULL-content docs; they must
+    instead reach decisions() and get the empty_content rule."""
+    from pyspark.sql.types import (StringType, StructField, StructType)
+    schema = StructType([StructField(c, StringType())
+                         for c in ("repo", "path", "commit", "lang",
+                                   "content")])
+    docs = spark.createDataFrame(
+        [("r", "null.py", "c" * 40, "python", None),
+         ("r", "ok.py", "c" * 40, "python", "a = 1\n\nb = 2")], schema)
+    from dqm_spark.qfconfig import QFConfig
+    res = prepare_corpus(docs, spark, cfg=QFConfig(enable_scoring=False),
+                         near_dedup=False, paragraph_dedup=True)
+    dec = res.decisions.toPandas().set_index("path")
+    assert set(dec.index) == {"null.py", "ok.py"}
+    assert not dec.loc["null.py", "keep"]
+    assert list(dec.loc["null.py", "fired_rules"]) == ["empty_content"]
+
+
 def test_mixture_stage_filters_langs_before_dedup(spark):
     pdf = gen_pandas(500)
     res = prepare_corpus(spark.createDataFrame(pdf), spark,
