@@ -114,8 +114,10 @@ def main() -> None:
         # fixed file count, keyed into the cache path — a CPU-derived
         # layout written by a low-CPU run would silently cap every later
         # run's parallelism at its row-group count (same trap as
-        # QF_INPUT_FILES above)
-        wide_files = 16
+        # QF_INPUT_FILES above). One row per file: each 2-5 MB row is a
+        # single row group, so tasks-with-data = files, and 16 files
+        # would idle half the cores.
+        wide_files = 48
         wide_path = f"/tmp/dqm_bench_cache/wide_files_n48_p{wide_files}"
         if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
             from dqm_spark.synth import gen_wide_spark
