@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "doc_rule_flags", "doc_scrub_sha", "doc_token_stats",
     "doc_quality_scores", "doc_repetition_words",
     "doc_minhash_dedup", "doc_simhash_dedup",
+    "doc_decontaminate", "doc_para_dedup",
     "ann_bruteforce", "ann_lsh",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",

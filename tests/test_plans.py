@@ -72,6 +72,17 @@ def test_repetition_operators_two_exchange_budget(spark):
         assert s.count("partial_sum") >= 1 and "partial_count" in s, q.__name__
 
 
+def test_paragraph_dedup_two_exchange_budget(spark):
+    """Within-doc paragraph dedup: exactly the (doc, para) window
+    exchange + the final per-doc agg exchange, partial combine present
+    (ObjectHashAggregate partial_collect_list)."""
+    from dqm_spark.operators.dedup import within_doc_paragraph_dedup
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = within_doc_paragraph_dedup(d, "text", "doc_id")
+    assert_plan(df, max_exchanges=2)
+    assert "partial_collect_list" in plan_string(df)
+
+
 def test_pii_counts_single_agg_exchange(spark):
     import __spark_entry__ as em
     df = em.q_doc_pii_counts(spark, SF)
