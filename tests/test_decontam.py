@@ -43,6 +43,42 @@ def test_short_docs_yield_no_grams(spark):
     assert out[0]["g"] == []
 
 
+def test_randomized_parity_vs_python_reference(spark):
+    """Seeded random word docs vs a pure-Python n-gram overlap counter —
+    one Spark job, per-doc distinct-hit equality (n=3 so overlaps are
+    frequent)."""
+    import random
+
+    rng = random.Random(99)
+    words = ["the", "quick", "fox", "jumps", "lazy", "dog", "code",
+             "alpha", "beta"]
+    corpus = pd.DataFrame({
+        "doc_id": range(30),
+        "text": ["  ".join(rng.choice(words)
+                           for _ in range(rng.randint(0, 15)))
+                 for _ in range(30)],
+    })
+    bench = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [" ".join(rng.choice(words) for _ in range(12)),
+                 " ".join(rng.choice(words) for _ in range(5))],
+    })
+
+    def grams(text, n=3):
+        ws = [w for w in text.split() if w]
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bset = set().union(*(grams(t) for t in bench["text"]))
+    want = {row["doc_id"]: len(grams(row["text"]) & bset)
+            for _, row in corpus.iterrows()
+            if grams(row["text"]) & bset}
+
+    out = (ngram_decontaminate(spark.createDataFrame(corpus),
+                               spark.createDataFrame(bench), n=3)
+           .toPandas().set_index("doc_id")["n_hits"].to_dict())
+    assert out == want
+
+
 def test_broadcast_zero_corpus_shuffle(spark):
     """The corpus side must reach the join without an Exchange (benchmark
     broadcast); the only exchange is the final per-doc aggregation."""

@@ -154,6 +154,46 @@ def test_within_doc_paragraph_dedup(spark):
     assert out.loc[1, "dedup_sha"] == want1
 
 
+def test_within_doc_paragraph_dedup_randomized_parity(spark):
+    """Seeded randomized corpus (repeats, empties, unicode, lone
+    paragraphs) vs a pure-Python reference — one Spark job, per-doc
+    equality on counts and reassembled sha."""
+    import hashlib
+    import random
+
+    import pandas as pd
+    from dqm_spark.operators.dedup import within_doc_paragraph_dedup
+
+    rng = random.Random(1234)
+    pool = ["alpha", "beta\nbeta2", "", "x = 1", "日本語テキスト",
+            "tab\there", "  spaced  ", "z" * 40]
+    docs = []
+    for i in range(40):
+        paras = [rng.choice(pool) for _ in range(rng.randint(1, 10))]
+        docs.append({"doc_id": i, "text": "\n\n".join(paras)})
+    pdf = pd.DataFrame(docs)
+
+    def ref(text):
+        paras = text.split("\n\n")
+        seen, kept = set(), []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        joined = "\n\n".join(kept)
+        return (len(paras), len(kept),
+                hashlib.sha256(joined.encode()).hexdigest())
+
+    out = (within_doc_paragraph_dedup(spark.createDataFrame(pdf),
+                                      "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    for i, row in pdf.iterrows():
+        n, k, sha = ref(row["text"])
+        got = out.loc[row["doc_id"]]
+        assert (got["n_paras"], got["n_paras_kept"]) == (n, k), row["text"]
+        assert got["dedup_sha"] == sha, row["text"]
+
+
 def test_asof_join_equal_ts_tiebreak_deterministic(spark):
     """When several right rows share (key, ts), the winner must be the
     same regardless of input partitioning (stable xxhash64 tie-break),
