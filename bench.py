@@ -152,15 +152,23 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    # attach the most recent scaling curve + Spark-free machine-capacity
-    # control (bench_scaling.py writes it with a UTC timestamp) so every
-    # BENCH_r*.json snapshot carries the N->4N evidence alongside it
-    scaling = None
+    # The N->4N scaling curve + machine-capacity control live in
+    # BENCH_SCALING.json (bench_scaling.py writes it). Round 2 embedded it
+    # here and the ~2.7 KB line overflowed the driver's ~2000-char tail
+    # capture (BENCH_r02 parsed:null) — so only the headline efficiency
+    # number rides along; the contract line must stay small and LAST.
+    scaling_eff = None
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
-        with open(scaling_path) as fh:
-            scaling = json.load(fh)
+        try:
+            with open(scaling_path) as fh:
+                snaps = json.load(fh).values()
+            effs = [s.get("efficiency_8_to_32") for s in snaps
+                    if isinstance(s, dict) and s.get("efficiency_8_to_32")]
+            scaling_eff = max(effs) if effs else None
+        except Exception:
+            scaling_eff = None
     print(json.dumps({
         "metric": "qf_pipeline+query_suite_wall",
         "value": total,
@@ -174,7 +182,7 @@ def main() -> None:
         "qf_wide_sec": round(wide_sec, 4) if wide_mb else None,
         "qf_wide_mb_per_sec": (
             round(wide_mb / wide_sec, 1) if wide_mb else None),
-        "scaling": scaling,
+        "scaling_eff_8_32": scaling_eff,
     }))
     spark.stop()
 

@@ -11,9 +11,12 @@ Four tiers, all shuffle-frugal and skew-aware:
                   web-corpus LSH dedup). Linear: candidate PAIRS are never
                   enumerated, so a degenerate bucket (N identical docs)
                   costs O(N), not O(N²) — the skew story.
-* simhash       — 64-bit token-feature simhash; near-dup iff some 16-bit
-                  chunk matches (banding = 4 chunks), same bucket-min
-                  propagation.
+* simhash       — 64-bit token-feature simhash; banded candidate
+                  generation (4 × 16-bit chunks) + exact hamming
+                  verification on the candidate pairs (Manku-style
+                  two-phase), with rows pre-collapsed to distinct
+                  simhash values so identical-content swarms never
+                  enumerate pairs.
 * n-gram jaccard— exact verification on candidate pairs via native
                   array_intersect/array_union on distinct-shingle arrays.
 
@@ -40,23 +43,53 @@ from pyspark.sql.functions import pandas_udf
 
 def exact_duplicates(df: DataFrame, content: str, id_col: str) -> DataFrame:
     """One row per input id: (id, canonical_id, is_duplicate).
-    canonical = min id among byte-identical contents."""
-    from pyspark.sql import Window
-    w = Window.partitionBy(F.md5(F.col(content)))
-    return df.select(
-        F.col(id_col),
-        F.min(id_col).over(w).alias("canonical_id"),
-    ).withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    canonical = min id among byte-identical contents.
+
+    Skew shape: a real code corpus has 10^7-10^8 byte-identical copies of
+    empty ``__init__.py`` / LICENSE files, so a single window partition
+    over md5(content) would funnel them all into ONE task. Instead the
+    canonical is elected with a two-stage hash agg
+    (``groupBy(md5).agg(min(id))``): map-side partial combine collapses a
+    hot digest to one record per input partition before the shuffle. The
+    join back is on the digest and relies on AQE skew-join splitting for
+    the probe side — the same pattern as cross_doc_line_dedup below."""
+    # NULL content must survive: an inner join never matches NULL keys
+    # (the old window PARTITION BY grouped them), so NULL digests get a
+    # sentinel no md5 hex string can collide with
+    key = F.coalesce(F.md5(F.col(content)), F.lit("__null__")) \
+        .alias("__digest")
+    keyed = df.select(F.col(id_col), key)
+    canon = keyed.groupBy("__digest").agg(
+        F.min(id_col).alias("canonical_id"))
+    return (
+        keyed.join(canon, "__digest")
+        .select(
+            F.col(id_col),
+            F.col("canonical_id"),
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
-    """Keep the min-id row per identical content (groupBy, 1 shuffle)."""
-    from pyspark.sql import Window
-    w = Window.partitionBy(F.md5(F.col(content))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1).drop("__rn")
+    """Keep the min-id row per identical content.
+
+    Requires ``id_col`` to be unique per row (the corpus contract). The
+    winner set (one min id per distinct digest, from a partial-agg-safe
+    groupBy) is semi-joined back ON THE ID — a uniformly distributed key —
+    so no stage ever concentrates a hot content digest into one task:
+    the old ``row_number() over (partition by md5)`` sorted all 10^7
+    copies of a boilerplate file inside a single window partition."""
+    winners = (
+        df.select(
+            F.coalesce(F.md5(F.col(content)), F.lit("__null__"))
+            .alias("__digest"),
+            F.col(id_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(winners, id_col, "semi")
 
 
 # ---------------------------------------------------------------------------
@@ -142,29 +175,76 @@ def with_minhash_bands(df: DataFrame, content: str,
     return df.withColumn("bands", bands_udf(F.col(content)))
 
 
-def _bucket_min_dedup(df: DataFrame, id_col: str, bands_col: str) -> DataFrame:
-    """Shared LSH dedup tail: explode bands, min-id per bucket (window),
-    min over a row's buckets; duplicate iff that min < own id. Two
-    shuffles on well-distributed hash keys; no pair enumeration; the
-    signature UDF is evaluated exactly once (a window, not a self-join —
-    a self-join would recompute the UDF subtree on both sides)."""
+def _content_digest(content: str):
+    """Cheap JVM-side content key; NULL content gets a sentinel no md5
+    hex string can collide with (join keys must be non-NULL)."""
+    return F.coalesce(F.md5(F.col(content)), F.lit("__null__"))
+
+
+def _digest_join_back(df: DataFrame, content: str, id_col: str,
+                      canon: DataFrame) -> DataFrame:
+    """(id, canonical_id, is_duplicate) per input row, by joining the
+    per-digest canonical back on md5(content). The probe side carries
+    only a codegen'd md5 — the signature UDF lives exclusively on the
+    (already digest-collapsed) build side, so it is never re-derived for
+    the join. AQE skew-split covers a hot digest (10⁷ identical
+    boilerplate files) on the probe side."""
+    rows = df.select(F.col(id_col), _content_digest(content).alias("__digest"))
+    return (
+        rows.join(canon, "__digest")
+        .select(
+            F.col(id_col),
+            F.col("canonical_id"),
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
+                      bands_col: str) -> DataFrame:
+    """Shared LSH dedup tail, in three skew-aware steps:
+
+    1. collapse rows to DISTINCT contents with a partial-agg-safe
+       ``groupBy(md5(content)).agg(min(id), min(bands))`` — the signature
+       UDF runs map-side before the shuffle (once per row, single-pass),
+       a swarm of 10⁷ byte-identical boilerplate files collapses to one
+       record per input partition, and only (digest, bands, id) tuples
+       ever shuffle — never content bytes;
+    2. explode only the distinct-content reps into (band_idx, band_hash)
+       buckets, take the bucket-min rep id per bucket (window over the
+       collapsed set — no row swarm can reach it), then min over each
+       rep's buckets;
+    3. join the per-digest canonical back to the rows on the digest
+       (_digest_join_back — UDF-free probe side).
+
+    canonical(row) = min id over rows sharing ≥1 band bucket — identical
+    semantics to electing directly from rows, since min id among rows
+    with content c IS rep(c). No candidate pairs are ever enumerated."""
     from pyspark.sql import Window
-    exploded = df.select(
-        F.col(id_col),
+    reps = (
+        df.select(_content_digest(content).alias("__digest"),
+                  F.col(id_col), F.col(bands_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("rep_id"),
+             F.min(bands_col).alias(bands_col))
+    )
+    exploded = reps.select(
+        "__digest", "rep_id",
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
     )
     w = Window.partitionBy("band_idx", "band_hash")
-    return (
-        exploded.withColumn("bucket_min", F.min(id_col).over(w))
-        .groupBy(id_col)
+    canon = (
+        exploded.withColumn("bucket_min", F.min("rep_id").over(w))
+        .groupBy("__digest")
         .agg(F.min("bucket_min").alias("canonical_id"))
-        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
     )
+    return _digest_join_back(df, content, id_col, canon)
 
 
 def minhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
     """(id, canonical_id, is_duplicate) under minhash-LSH near-dup."""
-    return _bucket_min_dedup(with_minhash_bands(df, content), id_col, "bands")
+    return _bucket_min_dedup(
+        with_minhash_bands(df, content), content, id_col, "bands")
 
 
 # ---------------------------------------------------------------------------
@@ -251,21 +331,83 @@ def with_simhash(df: DataFrame, content: str) -> DataFrame:
     return df.withColumn("simhash", sh(F.col(content)))
 
 
-def simhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
-    """Near-dup iff any 16-bit simhash chunk matches (≈ hamming ≤ 3 within
-    a chunk-collision candidate set)."""
-    df = with_simhash(df, content)
-    chunks = F.array(*[
+def simhash_dedup(df: DataFrame, content: str, id_col: str,
+                  max_hamming: int = 6) -> DataFrame:
+    """Near-dup iff a smaller-id row shares a 16-bit simhash chunk AND the
+    full 64-bit hamming distance is ≤ max_hamming (Manku et al., WWW'07
+    two-phase: banded candidate generation + exact verification).
+
+    Chunk collision alone is NOT a duplicate signal: two unrelated 64-bit
+    simhashes collide in some chunk with p ≈ 4·2⁻¹⁶ ≈ 6e-5, so an
+    unverified variant flags ~60 false duplicates per doc at 10⁶ docs —
+    essentially the whole corpus at web scale. With verification the
+    false-flag rate is p(hamming ≤ 6) ≈ C(64,≤6)/2⁶⁴ ≈ 4.5e-12 — still
+    negligible at 10⁹ docs. max_hamming=6 is calibrated to the corpus
+    shape (64-bit simhash over 2¹⁵ trigram buckets on ~KB code files):
+    trigram-Jaccard ≥ 0.9 pairs measure hamming ≤ 6. Note the banding
+    guarantee (pigeonhole: some chunk untouched) only covers hamming ≤ 3;
+    candidates at hamming 4-6 are found when their edits cluster into ≤ 3
+    chunks, which near-identical files' localized edits usually do.
+
+    Scale shape — pair enumeration is bounded two ways:
+    * rows are first collapsed to DISTINCT contents with a
+      partial-agg-safe ``groupBy(md5(content)).agg(min(id),
+      min(simhash))`` — the UDF runs map-side once per row, a swarm of
+      10⁷ byte-identical boilerplate files is ONE rep in the pair
+      stage, not 10¹⁴ pairs, and only (digest, simhash, id) tuples
+      shuffle;
+    * the self-join runs bucket-local on (chunk_idx, 16-bit chunk), so
+      candidate pairs per bucket ~ (distinct_contents/2¹⁶)², verified
+      by one codegen'd bit_count(xor) before any aggregation.
+    The verified-neighbor minimum then propagates back to rows via a
+    digest join (_digest_join_back — UDF-free probe side):
+    canonical(row) = min over verified neighbor contents c (incl. its
+    own content) of rep(c)."""
+    sigged = with_simhash(df, content)
+    reps = (
+        sigged.select(_content_digest(content).alias("__digest"),
+                      F.col(id_col), F.col("simhash"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("rep_id"), F.min("simhash").alias("simhash"))
+    )
+    chunk = F.explode(F.array(*[
         F.struct(
             F.lit(k).alias("band_idx"),
             F.shiftrightunsigned(F.col("simhash"), 16 * k)
             .bitwiseAND(F.lit(0xFFFF)).alias("band_hash"),
         ) for k in range(4)
-    ])
-    df = df.withColumn(
-        "bands", F.transform(chunks, lambda s: s["band_hash"])
+    ])).alias("c")
+    ex = reps.select("__digest", "simhash", "rep_id", chunk).select(
+        "__digest", "simhash", "rep_id", "c.band_idx", "c.band_hash")
+    a = ex.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col("__digest").alias("dg_a"),
+        F.col("simhash").alias("sh_a"), F.col("rep_id").alias("rep_a"))
+    b = ex.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col("__digest").alias("dg_b"), F.col("simhash").alias("sh_b"))
+    # both directions kept (no a<b filter): each side needs its verified
+    # neighbors' rep minimum; duplicate (dg_a, dg_b) rows from multi-chunk
+    # collisions just flow into the min() partial agg — a dropDuplicates
+    # here would cost an extra shuffle for nothing. Distinct contents with
+    # EQUAL simhash are legitimate candidates (hamming 0), hence the
+    # digest inequality, not signature inequality.
+    neigh = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("dg_a") != F.col("dg_b"))
+        .filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            <= max_hamming)
+        .groupBy(F.col("dg_b").alias("__digest"))
+        .agg(F.min("rep_a").alias("neigh_min"))
     )
-    return _bucket_min_dedup(df, id_col, "bands")
+    canon = reps.join(neigh, "__digest", "left").select(
+        "__digest",
+        F.least(F.col("rep_id"),
+                F.coalesce("neigh_min", F.col("rep_id")))
+        .alias("canonical_id"),
+    )
+    return _digest_join_back(df, content, id_col, canon)
 
 
 def cross_doc_line_dedup(df: DataFrame, content: str, id_col: str,
