@@ -287,3 +287,52 @@ def test_asof_join_null_value_and_same_row_semantics(spark):
     out = asof_join(left, right, "k", "ts", ["v", "u"]).collect()[0]
     # most recent right row is (ts=10, v=NULL, u=7): both fields from IT
     assert out.v_asof is None and out.u_asof == 7.0
+
+
+def test_exact_dedup_plans_have_no_window(spark, docs):
+    """VERDICT r2 #4: canonical election must be a two-stage hash agg
+    (map-side partial combine), never a window over md5(content) — a
+    window funnels every copy of a hot boilerplate file into one task."""
+    from dqm_spark.plans import plan_string
+    for out in (exact_dedup(docs, "text", "doc_id"),
+                exact_duplicates(docs, "text", "doc_id")):
+        s = plan_string(out)
+        assert "Window" not in s
+        assert "HashAggregate" in s
+
+
+def test_exact_dedup_hotkey_swarm(spark):
+    """10^5 byte-identical docs (the empty-__init__.py swarm shape):
+    completes via partial agg + AQE-splittable join-back, elects the
+    smallest id, flags all other copies."""
+    from pyspark.sql import functions as F
+    n = 100_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "IF(id % 1000 = 0, concat('unique-', id), 'boilerplate body') "
+        "AS text")
+    dup = exact_duplicates(df, "text", "doc_id")
+    r = dup.agg(
+        F.sum(F.col("is_duplicate").cast("long")).alias("dups"),
+    ).collect()[0]
+    # 100 unique docs + 99_900 copies of the boilerplate; canonical of the
+    # swarm is doc_id=1 (id 0 is 'unique-0'), so 99_899 duplicates
+    assert r["dups"] == 99_899
+    assert exact_dedup(df, "text", "doc_id").count() == 101
+
+
+def test_near_dup_precision_on_distinct_corpus(spark):
+    """Planted pairwise-dissimilar corpus (16 md5 hex blocks per doc)
+    must produce ZERO near-dup flags. This is the precision twin of the
+    recall invariants above; it caught two real kernel bugs when
+    introduced (degenerate trigram bucket hash; correlated minhash LUT
+    rows)."""
+    from pyspark.sql import functions as F
+    parts = [F.md5(F.concat_ws("_", F.col("doc_id").cast("string"),
+                               F.lit(str(j)))) for j in range(16)]
+    d = spark.range(400).select(
+        F.col("id").alias("doc_id"), F.concat(*parts).alias("text"))
+    for fn in (simhash_dedup, minhash_dedup):
+        flagged = fn(d, "text", "doc_id") \
+            .filter("is_duplicate").count()
+        assert flagged == 0, fn.__name__

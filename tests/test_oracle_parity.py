@@ -1,6 +1,10 @@
 """Local mirror of the driver's DuckDB-oracle comparison: every queries()
-entry with an oracle_sql() is run both ways at sf0.001 and compared on
-row count, column names, and (sorted, column-name-ordered) values."""
+entry with an oracle_sql() is run both ways and compared on row count,
+column names, and (sorted, column-name-ordered) values.
+
+Runs at BOTH sf0.001 and sf0.01 by default — the driver's gate is
+sf0.01, and scale-sensitive effects (collision-rate invariants, sample
+sizes) differ between the two; set ORACLE_SF_DIR to pin a single scale."""
 
 from __future__ import annotations
 
@@ -14,7 +18,9 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+_SF_DIRS = (
+    [os.environ["ORACLE_SF_DIR"]] if os.environ.get("ORACLE_SF_DIR")
+    else ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 
 _ORACLES = entrymod.oracle_sql()
 _QUERIES = entrymod.queries()
@@ -39,10 +45,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_oracle_parity(spark, name):
-    got = _QUERIES[name](spark, SF_DIR).toPandas()
-    con = _duck(SF_DIR)
+def test_oracle_parity(spark, name, sf_dir):
+    got = _QUERIES[name](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
     want = con.sql(_ORACLES[name]).df()
     con.close()
 
@@ -73,7 +80,7 @@ def test_oracle_parity(spark, name):
 @pytest.mark.parametrize(
     "name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, name):
-    df = _QUERIES[name](spark, SF_DIR)
+    df = _QUERIES[name](spark, _SF_DIRS[0])
     assert len(df.schema.fields) > 0
     # noop write, NOT count(): count() prunes every column, so a UDF-backed
     # query would "pass" without its UDF ever executing on a worker
