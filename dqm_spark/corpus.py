@@ -78,6 +78,11 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
     DROPPED (train/test decontamination) and flagged in dedup_audit as
     `contaminated`. Runs after dedup so the n-gram explode pays only for
     dedup survivors; benchmark n-grams broadcast (zero corpus shuffle).
+    Consequently dedup_audit.contaminated is evaluated ONLY for dedup
+    survivors — rows already dropped as exact/near duplicates or
+    repetitive read False even when their text overlaps the benchmark;
+    it is a drop-attribution column, not a full contamination census
+    (run ngram_decontaminate over the raw corpus if a census is wanted).
 
     mixture (e.g. {'python': 100, 'go': 25}) applies per-lang
     deterministic down-sampling FIRST — before any dedup — so every later

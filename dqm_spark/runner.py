@@ -216,6 +216,7 @@ def run(
         # commit order may lag completion order, which only affects how
         # much an ill-timed kill re-runs on resume.
         first_err: BaseException | None = None
+        secondary_errs: list[BaseException] = []
         try:
             for fut in futs:
                 try:
@@ -231,6 +232,8 @@ def run(
                     if first_err is None:
                         first_err = e
                         ex.shutdown(wait=False, cancel_futures=True)
+                    else:
+                        secondary_errs.append(e)
                     continue
                 _commit_ledger(out_dir, rec)
                 summary["processed"] += 1
@@ -239,6 +242,14 @@ def run(
         finally:
             ex.shutdown(wait=True)
         if first_err is not None:
+            if secondary_errs:
+                # surface concurrent in-flight failures instead of
+                # swallowing them; BaseExceptionGroup (not ExceptionGroup)
+                # because a drained future can raise KeyboardInterrupt-
+                # class errors, which ExceptionGroup refuses to wrap
+                raise BaseExceptionGroup(
+                    f"{1 + len(secondary_errs)} buckets failed",
+                    [first_err, *secondary_errs])
             raise first_err
     return summary
 

@@ -46,9 +46,14 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
         # floor 8g). An 8g heap with 32 concurrent parquet writers
         # GC-thrashes — measured 2.2x qf throughput at local[32] moving
         # 8g -> 32g on a 2M-row run. On a real cluster this maps to
-        # spark.executor.memory per executor, not the driver.
+        # spark.executor.memory per executor, not the driver. Capped at
+        # the cores THIS host actually has: SPARK_GRAFT_CPUS defaults to
+        # 32, and requesting a 32g heap on a smaller machine risks
+        # swap/OOM-kill; SPARK_DRIVER_MEM overrides.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"))
+                os.environ.get(
+                    "SPARK_DRIVER_MEM",
+                    f"{max(8, min(cpus, os.cpu_count() or cpus))}g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
