@@ -374,13 +374,22 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str,
     digest join (_digest_join_back — UDF-free probe side):
     canonical(row) = min over verified neighbor contents c (incl. its
     own content) of rep(c)."""
+    from pyspark import StorageLevel
     sigged = with_simhash(df, content)
+    # reps is consumed by BOTH sides of the bucket self-join and by the
+    # canonical join. Without materialization each consumer re-derives
+    # the whole scan → Arrow-UDF → agg subtree (AQE's exchange reuse
+    # does not unify the cloned self-join branches — measured 2x UDF
+    # cost); persisting the collapsed (digest, rep_id, simhash) table —
+    # ~48 B per DISTINCT content, MEMORY_AND_DISK so it spills rather
+    # than OOMs — evaluates the signatures exactly once. The driver's
+    # ContextCleaner unpersists it when the result DataFrame is dropped.
     reps = (
         sigged.select(_content_digest(content).alias("__digest"),
                       F.col(id_col), F.col("simhash"))
         .groupBy("__digest")
         .agg(F.min(id_col).alias("rep_id"), F.min("simhash").alias("simhash"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunk = F.explode(F.array(*[
         F.struct(
             F.lit(k).alias("band_idx"),
