@@ -157,18 +157,24 @@ def main() -> None:
     # here and the ~2.7 KB line overflowed the driver's ~2000-char tail
     # capture (BENCH_r02 parsed:null) — so only the headline efficiency
     # number rides along; the contract line must stay small and LAST.
-    scaling_eff = None
+    # honest labeling: report both the best-ever and the most recent
+    # measurement (runs vary ±30% with host load — see BASELINE.md), so
+    # the snapshot cannot silently cherry-pick a historical peak
+    eff_best = eff_latest = None
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as fh:
-                snaps = json.load(fh).values()
-            effs = [s.get("efficiency_8_to_32") for s in snaps
+                snaps = list(json.load(fh).values())
+            effs = [(s.get("measured_utc", ""), s["efficiency_8_to_32"])
+                    for s in snaps
                     if isinstance(s, dict) and s.get("efficiency_8_to_32")]
-            scaling_eff = max(effs) if effs else None
+            if effs:
+                eff_best = max(e for _, e in effs)
+                eff_latest = max(effs)[1]
         except Exception:
-            scaling_eff = None
+            pass
     print(json.dumps({
         "metric": "qf_pipeline+query_suite_wall",
         "value": total,
@@ -182,7 +188,8 @@ def main() -> None:
         "qf_wide_sec": round(wide_sec, 4) if wide_mb else None,
         "qf_wide_mb_per_sec": (
             round(wide_mb / wide_sec, 1) if wide_mb else None),
-        "scaling_eff_8_32": scaling_eff,
+        "scaling_eff_8_32_best": eff_best,
+        "scaling_eff_8_32_latest": eff_latest,
     }))
     spark.stop()
 

@@ -37,8 +37,35 @@ from pyspark.sql.functions import pandas_udf
 
 
 # ---------------------------------------------------------------------------
-# exact
+# shared digest helpers + exact
 # ---------------------------------------------------------------------------
+
+
+def _content_digest(content: str):
+    """Cheap JVM-side content key. NULL content must survive every dedup
+    tier: an inner join never matches NULL keys (the old window
+    PARTITION BY grouped them), so NULL digests get a sentinel no md5
+    hex string can collide with."""
+    return F.coalesce(F.md5(F.col(content)), F.lit("__null__"))
+
+
+def _digest_join_back(df: DataFrame, content: str, id_col: str,
+                      canon: DataFrame) -> DataFrame:
+    """(id, canonical_id, is_duplicate) per input row, by joining the
+    per-digest canonical back on md5(content). The probe side carries
+    only a codegen'd md5 — any signature UDF lives exclusively on the
+    (already digest-collapsed) build side, so it is never re-derived for
+    the join. AQE skew-split covers a hot digest (10⁷ identical
+    boilerplate files) on the probe side."""
+    rows = df.select(F.col(id_col), _content_digest(content).alias("__digest"))
+    return (
+        rows.join(canon, "__digest")
+        .select(
+            F.col(id_col),
+            F.col("canonical_id"),
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
 
 
 def exact_duplicates(df: DataFrame, content: str, id_col: str) -> DataFrame:
@@ -53,22 +80,12 @@ def exact_duplicates(df: DataFrame, content: str, id_col: str) -> DataFrame:
     hot digest to one record per input partition before the shuffle. The
     join back is on the digest and relies on AQE skew-join splitting for
     the probe side — the same pattern as cross_doc_line_dedup below."""
-    # NULL content must survive: an inner join never matches NULL keys
-    # (the old window PARTITION BY grouped them), so NULL digests get a
-    # sentinel no md5 hex string can collide with
-    key = F.coalesce(F.md5(F.col(content)), F.lit("__null__")) \
-        .alias("__digest")
-    keyed = df.select(F.col(id_col), key)
-    canon = keyed.groupBy("__digest").agg(
-        F.min(id_col).alias("canonical_id"))
-    return (
-        keyed.join(canon, "__digest")
-        .select(
-            F.col(id_col),
-            F.col("canonical_id"),
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-        )
+    canon = (
+        df.select(F.col(id_col), _content_digest(content).alias("__digest"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("canonical_id"))
     )
+    return _digest_join_back(df, content, id_col, canon)
 
 
 def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
@@ -81,10 +98,7 @@ def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
     the old ``row_number() over (partition by md5)`` sorted all 10^7
     copies of a boilerplate file inside a single window partition."""
     winners = (
-        df.select(
-            F.coalesce(F.md5(F.col(content)), F.lit("__null__"))
-            .alias("__digest"),
-            F.col(id_col))
+        df.select(_content_digest(content).alias("__digest"), F.col(id_col))
         .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -186,31 +200,6 @@ def with_minhash_bands(df: DataFrame, content: str,
     return df.withColumn("bands", bands_udf(F.col(content)))
 
 
-def _content_digest(content: str):
-    """Cheap JVM-side content key; NULL content gets a sentinel no md5
-    hex string can collide with (join keys must be non-NULL)."""
-    return F.coalesce(F.md5(F.col(content)), F.lit("__null__"))
-
-
-def _digest_join_back(df: DataFrame, content: str, id_col: str,
-                      canon: DataFrame) -> DataFrame:
-    """(id, canonical_id, is_duplicate) per input row, by joining the
-    per-digest canonical back on md5(content). The probe side carries
-    only a codegen'd md5 — the signature UDF lives exclusively on the
-    (already digest-collapsed) build side, so it is never re-derived for
-    the join. AQE skew-split covers a hot digest (10⁷ identical
-    boilerplate files) on the probe side."""
-    rows = df.select(F.col(id_col), _content_digest(content).alias("__digest"))
-    return (
-        rows.join(canon, "__digest")
-        .select(
-            F.col(id_col),
-            F.col("canonical_id"),
-            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
-        )
-    )
-
-
 def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
                       bands_col: str) -> DataFrame:
     """Shared LSH dedup tail, in three skew-aware steps:
@@ -264,6 +253,20 @@ def minhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
 
 
 _SIMHASH_LUT: np.ndarray | None = None
+
+# most-recent simhash_dedup reps cache (bounded to one entry; see
+# simhash_dedup for why the persist exists and who releases it)
+_SIMHASH_CACHED: list[DataFrame] = []
+
+
+def clear_simhash_cache() -> None:
+    """Unpersist the reps table cached by the most recent simhash_dedup
+    call (safe to call any time; consumers recompute if still running)."""
+    while _SIMHASH_CACHED:
+        try:
+            _SIMHASH_CACHED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def _simhash_bits_lut() -> np.ndarray:
@@ -382,14 +385,20 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str,
     # does not unify the cloned self-join branches — measured 2x UDF
     # cost); persisting the collapsed (digest, rep_id, simhash) table —
     # ~48 B per DISTINCT content, MEMORY_AND_DISK so it spills rather
-    # than OOMs — evaluates the signatures exactly once. The driver's
-    # ContextCleaner unpersists it when the result DataFrame is dropped.
+    # than OOMs — evaluates the signatures exactly once. SQL-cached
+    # plans are NOT GC-cleaned (the CacheManager holds them until
+    # unpersist/clearCache), so the previous call's entry is unpersisted
+    # here — the session retains at most ONE simhash reps cache; a still-
+    # running consumer of an older result just recomputes (correctness
+    # unaffected). Call clear_simhash_cache() to release it eagerly.
     reps = (
         sigged.select(_content_digest(content).alias("__digest"),
                       F.col(id_col), F.col("simhash"))
         .groupBy("__digest")
         .agg(F.min(id_col).alias("rep_id"), F.min("simhash").alias("simhash"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    clear_simhash_cache()
+    _SIMHASH_CACHED.append(reps)
     chunk = F.explode(F.array(*[
         F.struct(
             F.lit(k).alias("band_idx"),

@@ -17,7 +17,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "dqm-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # clamp ONCE at the source: SPARK_GRAFT_CPUS defaults to 32, and on a
+    # smaller host every derived default (task threads in local[N],
+    # shuffle partitions, driver heap) must shrink together — capping
+    # only the heap would recreate the measured GC-thrash configuration
+    # (32 writer threads against an 8g heap)
+    cpus = min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+               os.cpu_count() or 32)
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle = shuffle_partitions or max(cpus, 8)
     b = (
@@ -46,14 +52,12 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
         # floor 8g). An 8g heap with 32 concurrent parquet writers
         # GC-thrashes — measured 2.2x qf throughput at local[32] moving
         # 8g -> 32g on a 2M-row run. On a real cluster this maps to
-        # spark.executor.memory per executor, not the driver. Capped at
-        # the cores THIS host actually has: SPARK_GRAFT_CPUS defaults to
-        # 32, and requesting a 32g heap on a smaller machine risks
-        # swap/OOM-kill; SPARK_DRIVER_MEM overrides.
+        # spark.executor.memory per executor, not the driver. cpus is
+        # already clamped to the host's cores above, so this cannot
+        # request a 32g heap on a small machine; SPARK_DRIVER_MEM
+        # overrides.
         .config("spark.driver.memory",
-                os.environ.get(
-                    "SPARK_DRIVER_MEM",
-                    f"{max(8, min(cpus, os.cpu_count() or cpus))}g"))
+                os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -326,12 +326,11 @@ def test_near_dup_precision_on_distinct_corpus(spark):
     must produce ZERO near-dup flags. This is the precision twin of the
     recall invariants above; it caught two real kernel bugs when
     introduced (degenerate trigram bucket hash; correlated minhash LUT
-    rows)."""
-    from pyspark.sql import functions as F
-    parts = [F.md5(F.concat_ws("_", F.col("doc_id").cast("string"),
-                               F.lit(str(j)))) for j in range(16)]
-    d = spark.range(400).select(
-        F.col("id").alias("doc_id"), F.concat(*parts).alias("text"))
+    rows). The corpus is the SAME construction the driver oracle uses
+    (__spark_entry__._planted_distinct_docs), imported so the unit test
+    and the oracle assert one property, not two drifting copies."""
+    import __spark_entry__ as entrymod
+    d = entrymod._planted_distinct_docs(spark)
     for fn in (simhash_dedup, minhash_dedup):
         flagged = fn(d, "text", "doc_id") \
             .filter("is_duplicate").count()
