@@ -12,10 +12,11 @@ Four tiers, all shuffle-frugal and skew-aware:
                   enumerated, so a degenerate bucket (N identical docs)
                   costs O(N), not O(N²) — the skew story.
 * simhash       — 64-bit token-feature simhash; banded candidate
-                  generation (4 × 16-bit chunks) + exact hamming
+                  generation (all C(8,2)=28 pairs of 8-bit chunks —
+                  pigeonhole-complete for hamming ≤ 6) + exact hamming
                   verification on the candidate pairs (Manku-style
                   two-phase), with rows pre-collapsed to distinct
-                  simhash values so identical-content swarms never
+                  contents so identical-content swarms never
                   enumerate pairs.
 * n-gram jaccard— exact verification on candidate pairs via native
                   array_intersect/array_union on distinct-shingle arrays.
@@ -347,21 +348,30 @@ def with_simhash(df: DataFrame, content: str) -> DataFrame:
 
 def simhash_dedup(df: DataFrame, content: str, id_col: str,
                   max_hamming: int = 6) -> DataFrame:
-    """Near-dup iff a smaller-id row shares a 16-bit simhash chunk AND the
-    full 64-bit hamming distance is ≤ max_hamming (Manku et al., WWW'07
+    """Near-dup iff a smaller-id row shares a candidate band AND the full
+    64-bit hamming distance is ≤ max_hamming (Manku et al., WWW'07
     two-phase: banded candidate generation + exact verification).
 
-    Chunk collision alone is NOT a duplicate signal: two unrelated 64-bit
-    simhashes collide in some chunk with p ≈ 4·2⁻¹⁶ ≈ 6e-5, so an
-    unverified variant flags ~60 false duplicates per doc at 10⁶ docs —
-    essentially the whole corpus at web scale. With verification the
-    false-flag rate is p(hamming ≤ 6) ≈ C(64,≤6)/2⁶⁴ ≈ 4.5e-12 — still
-    negligible at 10⁹ docs. max_hamming=6 is calibrated to the corpus
-    shape (64-bit simhash over 2¹⁵ trigram buckets on ~KB code files):
-    trigram-Jaccard ≥ 0.9 pairs measure hamming ≤ 6. Note the banding
-    guarantee (pigeonhole: some chunk untouched) only covers hamming ≤ 3;
-    candidates at hamming 4-6 are found when their edits cluster into ≤ 3
-    chunks, which near-identical files' localized edits usually do.
+    Band collision alone is NOT a duplicate signal: two unrelated 64-bit
+    simhashes collide in some 16-bit band with p ≈ 28·2⁻¹⁶ ≈ 4e-4, so an
+    unverified variant flags essentially the whole corpus at web scale.
+    With verification the false-flag rate is p(hamming ≤ 6) ≈
+    C(64,≤6)/2⁶⁴ ≈ 4.5e-12 — negligible at 10⁹ docs.
+
+    Banding is PIGEONHOLE-COMPLETE for the default budget: the 64 bits
+    split into 8 chunks of 8, and the band keys are all C(8,2) = 28
+    chunk PAIRS (16-bit keys). ≤ 6 errors touch ≤ 6 chunks, leaving ≥ 2
+    clean chunks whose pair key matches — so every pair within
+    max_hamming=6 is guaranteed a candidate (the classic 4×16-bit
+    banding only guarantees hamming ≤ 3). max_hamming=6 is calibrated
+    to the corpus shape (64-bit simhash over 2¹⁵ trigram buckets on
+    ~KB code files): trigram-Jaccard ≥ 0.95 pairs measure hamming ≤ 6;
+    J 0.90-0.95 pairs can reach hamming ~10 (64-bit simhash estimates
+    the feature-vector ANGLE — E[hamming] = 64·θ/π ≈ 9 at J = 0.9 on
+    short docs) and are deliberately out of contract. For 10⁹⁺-distinct
+    corpora where 16-bit buckets grow dense, the same construction
+    extends to chunk TRIPLES (24-bit keys, C(8,3) = 56 bands,
+    guarantee drops to hamming ≤ 5).
 
     Scale shape — pair enumeration is bounded two ways:
     * rows are first collapsed to DISTINCT contents with a
@@ -399,12 +409,16 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     clear_simhash_cache()
     _SIMHASH_CACHED.append(reps)
+    def chunk8(k):
+        return (F.shiftrightunsigned(F.col("simhash"), 8 * k)
+                .bitwiseAND(F.lit(0xFF)))
+    pairs_ij = [(i, j) for i in range(8) for j in range(i + 1, 8)]
     chunk = F.explode(F.array(*[
         F.struct(
-            F.lit(k).alias("band_idx"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * k)
-            .bitwiseAND(F.lit(0xFFFF)).alias("band_hash"),
-        ) for k in range(4)
+            F.lit(b).alias("band_idx"),
+            (F.shiftleft(chunk8(i), 8).bitwiseOR(chunk8(j)))
+            .alias("band_hash"),
+        ) for b, (i, j) in enumerate(pairs_ij)
     ])).alias("c")
     ex = reps.select("__digest", "simhash", "rep_id", chunk).select(
         "__digest", "simhash", "rep_id", "c.band_idx", "c.band_hash")
