@@ -89,6 +89,30 @@ def exact_duplicates(df: DataFrame, content: str, id_col: str) -> DataFrame:
     return _digest_join_back(df, content, id_col, canon)
 
 
+def snapshot_latest(df: DataFrame, keys: list[str],
+                    version: str) -> DataFrame:
+    """Keep the row with the highest `version` per `keys` group — the
+    code-corpus snapshot dedup (one file per (repo, path), newest commit
+    wins; The-Stack-style head-snapshot construction).
+
+    Election is `max(struct(version, payload...))` in a single agg
+    (SortAggregate — struct ordering is not hash-agg-compatible, but the
+    map-side partial_max still collapses a hot path with 10⁶ historical
+    versions to one record per input partition before the shuffle,
+    where a row_number window would sort the whole version history in
+    one task). Ties on `version` break deterministically by the
+    remaining payload columns. Output columns = keys + version +
+    payload (original names)."""
+    payload = [c for c in df.columns if c not in keys and c != version]
+    w = F.max(F.struct(F.col(version),
+                       *[F.col(c) for c in payload])).alias("w")
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(w)
+        .select(*keys, f"w.{version}", *[f"w.{c}" for c in payload])
+    )
+
+
 def exact_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
     """Keep the min-id row per identical content.
 

@@ -335,3 +335,34 @@ def test_near_dup_precision_on_distinct_corpus(spark):
         flagged = fn(d, "text", "doc_id") \
             .filter("is_duplicate").count()
         assert flagged == 0, fn.__name__
+
+
+def test_snapshot_latest(spark):
+    """Newest version per (repo, path) wins; ties on version break
+    deterministically by payload; election is agg-only (no Window), so a
+    10^6-version hot path partial-aggregates map-side."""
+    import pandas as pd
+    from dqm_spark.operators.dedup import snapshot_latest
+    from dqm_spark.plans import plan_string
+    df = spark.createDataFrame(pd.DataFrame({
+        "repo": ["r1", "r1", "r1", "r2"],
+        "path": ["a.py", "a.py", "b.py", "a.py"],
+        "commit_ts": [5, 9, 3, 3],
+        "content": ["old", "new", "only", "other"],
+    }))
+    out = snapshot_latest(df, ["repo", "path"], "commit_ts")
+    s = plan_string(out)
+    # struct max compiles to SortAggregate (struct ordering is not
+    # hash-agg-compatible) — the skew claim is the map-side partial_max
+    # before the exchange, and that NO Window sorts a version history
+    assert "Window" not in s and "partial_max" in s
+    rows = {(r.repo, r.path): (r.commit_ts, r.content) for r in out.collect()}
+    assert rows == {("r1", "a.py"): (9, "new"),
+                    ("r1", "b.py"): (3, "only"),
+                    ("r2", "a.py"): (3, "other")}
+    # 10^5-version hot path completes and picks the max
+    hot = spark.range(100_000).selectExpr(
+        "'r' AS repo", "'hot.py' AS path", "id AS commit_ts",
+        "concat('v', id) AS content")
+    w = snapshot_latest(hot, ["repo", "path"], "commit_ts").collect()
+    assert len(w) == 1 and w[0].commit_ts == 99_999
