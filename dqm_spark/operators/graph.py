@@ -1,0 +1,125 @@
+"""Connected components over an edge DataFrame — dedup-cluster
+construction.
+
+The LSH dedup tails elect a SINGLE-STEP canonical (min id over verified
+neighbors), which is not transitive: a chain A~B~C with A≁C leaves C
+pointing at B. Corpus curation usually wants the full CLUSTER (keep one
+representative per component, audit cluster sizes), i.e. connected
+components of the near-duplicate graph.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard web-scale CC. Each half-iteration is one hash-agg + one
+projection over the (symmetrized) edge list; the paper proves
+convergence in O(log² n) rounds (O(log n) observed). No step ever
+materializes a neighborhood in one task beyond a groupBy min — hot
+nodes partial-aggregate map-side, the same skew posture as the dedup
+tails. The driver loop only compares two small checksums per round
+(no edge data is collected).
+
+dqm analog: the reference's channel-map grouping walks detector links
+to group channels per plane (/root/reference/src/ChannelMap.cpp) — a
+fixed, small graph resolved in one pass; at corpus scale the grouping
+graph is 10⁹+ nodes, hence the iterative contraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every STRICTLY LARGER neighbor to
+    min(N(u) ∪ {u})."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    m = F.least(F.col("nbr_min"), F.col("src")).alias("m")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor ≤ u (and u itself) to
+    min(smaller-neighbors ∪ {u})."""
+    # orient every edge large→small, group by the large end
+    oriented = _symmetrize(edges).where(F.col("dst") < F.col("src"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selflink = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        relink.unionByName(selflink)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node appearing in `edges`; component
+    = the minimum node id in its connected component. Undirected: each
+    input pair counts both ways; self-loops are ignored.
+
+    The iteration state is only the shrinking edge list; convergence is
+    detected when the small-star edge set's (count, xor-of-hashes)
+    checksum is stable across a round — two scalar aggregates, no edge
+    data on the driver. Raises after max_iter (the paper's bound is
+    O(log² n); 25 covers any realistic corpus — 2^25 ≫ 10⁷ cluster
+    diameter)."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # sum-fold of row hashes: order-independent set digest
+                # (count + 64-bit-sum-of-crc32 collision is negligible
+                # for a convergence check)
+                F.sum(F.crc32(F.concat_ws(",", "src", "dst"))),
+                F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in "
+                           f"{max_iter} iterations")
+
+    # converged: every edge points node → component min (a star graph);
+    # components' minima are their own representatives
+    nodes = _symmetrize(
+        edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    ).select(F.col("src").alias("node")).distinct()
+    comp = e.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node",
+                F.coalesce("component", F.col("node")).alias("component"))
+    )

@@ -1,0 +1,62 @@
+"""Connected components (large-star/small-star) vs a pure-Python
+union-find reference."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.graph import connected_components
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_multi_hop_chain(spark):
+    """A~B~C with no A~C edge: single-step canonicals cannot see this;
+    CC must put all three in one component (the dedup-cluster case)."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [10, 20, 50], "dst": [20, 30, 60]}))
+    out = {r.node: r.component
+           for r in connected_components(e).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(0, 300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(edges)
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r.node: r.component
+           for r in connected_components(e).collect()}
+    assert got == want
+
+
+def test_long_path_converges_fast(spark):
+    """A 200-node path graph: min-label propagation needs 200 rounds;
+    star contraction must finish within the 25-iteration budget."""
+    e = spark.createDataFrame(pd.DataFrame(
+        {"src": range(199), "dst": range(1, 200)}))
+    out = connected_components(e).collect()
+    assert all(r.component == 0 for r in out) and len(out) == 200
