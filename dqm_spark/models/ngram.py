@@ -6,8 +6,11 @@ with no per-row Python loop in the hot path (the marshalling philosophy of
 the reference's ndarray bridge, /root/reference/include/dqm/PythonUtils.hpp:78-98,
 re-expressed for Arrow batches).
 
-Hash space is 2**15 buckets; the rolling hash is a fixed-coefficient
-polynomial over UTF-8 bytes — deterministic across processes (no PYTHONHASHSEED
+Hash space is 2**15 buckets; the bucket hash is TABULATION hashing over
+the trigram's UTF-8 bytes (three 256-entry lookup tables XORed —
+3-independent, so buckets are uniform even for narrow byte ranges; see
+the comment in trigram_features for the linear-polynomial pathology
+this replaced) — deterministic across processes (no PYTHONHASHSEED
 dependence), cheap, and identical wherever this module is imported.
 
 Performance notes (measured, see BENCH notes): per-row bookkeeping uses

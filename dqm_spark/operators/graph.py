@@ -67,6 +67,24 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# persisted inputs/outputs of the most recent connected_components call
+# (bounded to one call's worth; same pattern as dedup._SIMHASH_CACHED —
+# SQL/RDD caches are not GC-cleaned promptly, so the previous call's
+# entries are released on each new call)
+_CC_CACHED: list[DataFrame] = []
+
+
+def clear_cc_cache() -> None:
+    """Unpersist the edge tables cached by the most recent
+    connected_components call (safe any time; a still-running consumer
+    recomputes)."""
+    while _CC_CACHED:
+        try:
+            _CC_CACHED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iter: int = 25) -> DataFrame:
@@ -75,17 +93,33 @@ def connected_components(edges: DataFrame, src: str = "src",
     input pair counts both ways; self-loops are ignored.
 
     The iteration state is only the shrinking edge list; convergence is
-    detected when the small-star edge set's (count, xor-of-hashes)
+    detected when the small-star edge set's (count, sum-of-row-hashes)
     checksum is stable across a round — two scalar aggregates, no edge
     data on the driver. Raises after max_iter (the paper's bound is
     O(log² n); 25 covers any realistic corpus — 2^25 ≫ 10⁷ cluster
-    diameter)."""
-    e = (
+    diameter).
+
+    Storage shape: the normalized input is persisted ONCE (the edge
+    derivation may be an expensive subplan — e.g. a pairwise Jaccard
+    join — and is needed both to seed the iteration and for the final
+    node inventory, so re-deriving it would double the dominant cost;
+    released on the next call or via clear_cc_cache()). Each round
+    localCheckpoints its output — the truncation is load-bearing:
+    every round references its input MULTIPLE times (symmetrize union,
+    mins join), so an untruncated logical plan grows exponentially
+    with rounds. Dropping the previous round's only Python reference
+    plus an explicit gc nudge lets the ContextCleaner reclaim its RDD
+    blocks (localCheckpoint caches are RDD-level, which ARE GC-cleaned
+    — unlike SQL-persist entries), keeping ~2 live edge-list copies."""
+    import gc
+
+    from pyspark import StorageLevel
+    e0 = (
         edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -93,15 +127,17 @@ def connected_components(edges: DataFrame, src: str = "src",
             F.coalesce(
                 # sum-fold of row hashes: order-independent set digest
                 # (count + 64-bit-sum-of-crc32 collision is negligible
-                # for a convergence check)
+                # for a convergence check; also materializes the round)
                 F.sum(F.crc32(F.concat_ws(",", "src", "dst"))),
                 F.lit(0)).alias("h"),
         ).collect()[0]
         return row["n"], row["h"]
 
     prev = None
+    e = e0
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        gc.collect()   # release the previous round's checkpoint blocks
         cur = checksum(e)
         if cur == prev:
             break
@@ -110,12 +146,13 @@ def connected_components(edges: DataFrame, src: str = "src",
         raise RuntimeError(f"connected_components: no convergence in "
                            f"{max_iter} iterations")
 
+    clear_cc_cache()
+    _CC_CACHED.append(e0)
+
     # converged: every edge points node → component min (a star graph);
-    # components' minima are their own representatives
-    nodes = _symmetrize(
-        edges.select(F.col(src).cast("long").alias("src"),
-                     F.col(dst).cast("long").alias("dst"))
-    ).select(F.col("src").alias("node")).distinct()
+    # components' minima are their own representatives. Nodes come from
+    # the PERSISTED normalized input — not a re-derivation of `edges`.
+    nodes = _symmetrize(e0).select(F.col("src").alias("node")).distinct()
     comp = e.groupBy(F.col("src").alias("node")).agg(
         F.min("dst").alias("component"))
     return (
