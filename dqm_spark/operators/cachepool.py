@@ -1,0 +1,32 @@
+"""Bounded DataFrame-cache pool shared by operators that must persist
+an intermediate (a table consumed by multiple plan branches or by a
+driver-side action + the returned lazy result).
+
+Spark never GC-cleans SQL-persisted plans — the CacheManager holds them
+until unpersist/clearCache — so an operator that persists on every call
+leaks cache entries for the session lifetime. Each operator module
+keeps ONE pool; registering a new call's DataFrames releases the
+previous call's (a still-running consumer of an older result silently
+recomputes — correctness unaffected)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class CachePool:
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def swap(self, *dfs: DataFrame) -> None:
+        """Release everything previously registered, then track `dfs`
+        (already persisted by the caller)."""
+        self.clear()
+        self._dfs.extend(dfs)
+
+    def clear(self) -> None:
+        while self._dfs:
+            try:
+                self._dfs.pop().unpersist()
+            except Exception:
+                pass

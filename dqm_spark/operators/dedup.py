@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .cachepool import CachePool
+
 
 
 # ---------------------------------------------------------------------------
@@ -279,19 +281,10 @@ def minhash_dedup(df: DataFrame, content: str, id_col: str) -> DataFrame:
 
 _SIMHASH_LUT: np.ndarray | None = None
 
-# most-recent simhash_dedup reps cache (bounded to one entry; see
+# most-recent simhash_dedup reps cache (bounded to one call; see
 # simhash_dedup for why the persist exists and who releases it)
-_SIMHASH_CACHED: list[DataFrame] = []
-
-
-def clear_simhash_cache() -> None:
-    """Unpersist the reps table cached by the most recent simhash_dedup
-    call (safe to call any time; consumers recompute if still running)."""
-    while _SIMHASH_CACHED:
-        try:
-            _SIMHASH_CACHED.pop().unpersist()
-        except Exception:
-            pass
+_SIMHASH_POOL = CachePool()
+clear_simhash_cache = _SIMHASH_POOL.clear
 
 
 def _simhash_bits_lut() -> np.ndarray:
@@ -431,8 +424,7 @@ def simhash_dedup(df: DataFrame, content: str, id_col: str,
         .groupBy("__digest")
         .agg(F.min(id_col).alias("rep_id"), F.min("simhash").alias("simhash"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    clear_simhash_cache()
-    _SIMHASH_CACHED.append(reps)
+    _SIMHASH_POOL.swap(reps)
     def chunk8(k):
         return (F.shiftrightunsigned(F.col("simhash"), 8 * k)
                 .bitwiseAND(F.lit(0xFF)))

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cachepool import CachePool
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(
@@ -67,22 +69,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-# persisted inputs/outputs of the most recent connected_components call
-# (bounded to one call's worth; same pattern as dedup._SIMHASH_CACHED —
-# SQL/RDD caches are not GC-cleaned promptly, so the previous call's
-# entries are released on each new call)
-_CC_CACHED: list[DataFrame] = []
-
-
-def clear_cc_cache() -> None:
-    """Unpersist the edge tables cached by the most recent
-    connected_components call (safe any time; a still-running consumer
-    recomputes)."""
-    while _CC_CACHED:
-        try:
-            _CC_CACHED.pop().unpersist()
-        except Exception:
-            pass
+# persisted input of the most recent connected_components call (bounded
+# to one call; released on the next call or via clear_cc_cache())
+_CC_POOL = CachePool()
+clear_cc_cache = _CC_POOL.clear
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -146,8 +136,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         raise RuntimeError(f"connected_components: no convergence in "
                            f"{max_iter} iterations")
 
-    clear_cc_cache()
-    _CC_CACHED.append(e0)
+    _CC_POOL.swap(e0)
 
     # converged: every edge points node → component min (a star graph);
     # components' minima are their own representatives. Nodes come from

@@ -1,0 +1,97 @@
+"""Distributed prefix sum + sequence packing (concatenate-and-chop).
+
+Training-data pipelines pack documents into fixed-capacity token
+windows ("sample packing"): concatenate docs in a deterministic order
+and chop at every `capacity` tokens; a doc belongs to the bin where it
+STARTS. The core primitive is a GLOBAL running sum over a total order —
+which in naive Spark is `Window.orderBy(...)` with no partitionBy, a
+plan that funnels the whole table through ONE task (the classic global-
+window trap; fine at 10^5 rows, dead at 10^9).
+
+Scale shape — the textbook two-phase parallel scan:
+  1. range-partition by the order column (parallel sort machinery,
+     same as any global orderBy) and take per-partition running sums
+     with a window PARTITIONED by the physical partition id;
+  2. collect one row per partition (the partition totals — a few
+     thousand scalars, not data), prefix-sum them on the driver, and
+     broadcast-join the tiny offset table back.
+Every data-touching stage is fully parallel; the only serial step is
+the O(#partitions) driver-side prefix of totals.
+
+dqm analog: the reference's plane-sum linearity (partial sums combined
+into totals, /root/reference/src/algs/*) — here the combine must also
+preserve ORDER, hence the scan structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cachepool import CachePool
+
+_POOL = CachePool()
+clear_packing_cache = _POOL.clear
+
+
+def with_prefix_sum(df: DataFrame, value_col: str, order_col: str,
+                    out: str = "prefix_sum",
+                    num_partitions: int | None = None) -> DataFrame:
+    """Adds `out` = sum of value_col over all rows with order_col <= this
+    row's (order_col must be unique — ties would make the prefix
+    order-dependent). INCLUSIVE of the current row.
+
+    The per-partition scan output is persisted (narrow columns only
+    reach it) because it feeds both the totals action and the returned
+    join — without it the range shuffle + window would execute twice;
+    released on the next call or via clear_packing_cache()."""
+    from pyspark import StorageLevel
+    parted = (df.repartitionByRange(num_partitions, F.col(order_col))
+              if num_partitions
+              else df.repartitionByRange(F.col(order_col)))
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = parted.withColumn("__local_cum", F.sum(value_col).over(w)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # one row per partition: its total — tiny, driver-prefixed. The
+    # serial work is O(#partitions) scalars; no row data is collected.
+    totals = (
+        local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+        .collect()
+    )
+    _POOL.swap(local)
+    run = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((int(r["__pid"]), int(run)))
+        run += r["__tot"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid INT, __off BIGINT")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn(out, (F.col("__local_cum") + F.col("__off"))
+                    .cast("long"))
+        .drop("__pid", "__local_cum")
+    )
+
+
+def pack_sequences(df: DataFrame, token_col: str, order_col: str,
+                   capacity: int) -> DataFrame:
+    """Assign each doc to a training bin: concatenate docs in order_col
+    order and chop every `capacity` tokens; a doc lands in the bin
+    where its first token falls. Adds:
+
+      bin_id     floor(start / capacity)
+      bin_offset start position within the bin (start mod capacity)
+
+    where start = prefix_sum(tokens) - tokens (0-based). Docs longer
+    than `capacity` simply span bins (the training loader's chop deals
+    with the tail — same semantics as GPT-style concat-and-chop)."""
+    cum = with_prefix_sum(df, token_col, order_col, out="__cum")
+    start = F.col("__cum") - F.col(token_col)
+    return (
+        cum.withColumn("bin_id",
+                       F.floor(start / F.lit(capacity)).cast("long"))
+        .withColumn("bin_offset", (start % F.lit(capacity)).cast("long"))
+        .drop("__cum")
+    )
