@@ -80,3 +80,30 @@ def test_ivf_cells_balanced(emb):
     n_total = sizes.sum()
     assert len(sizes) >= 6          # nearly all cells non-empty
     assert sizes.max() <= 4 * np.ceil(n_total / 8)
+
+
+def test_pq_recall_and_compression(emb, queries, exact):
+    """ADC over 8x256 codebooks (64-dim -> 8 bytes/vector): recall floor
+    vs exact brute force, and the approximate cosines of true top-1
+    neighbors must be close (quantization error bounded)."""
+    from dqm_spark.operators.similarity import pq_topk
+    out = pq_topk(emb, queries, k=K).toPandas()
+    assert _recall(out, exact) >= 0.5
+    # rank-1 exact neighbor should appear somewhere in PQ's top-k for
+    # most queries (top-1-in-topk recall is stricter than set recall)
+    ex1 = exact[exact["rank"] == 1][["query_id", "neighbor_id"]]
+    hit = 0
+    for _, r in ex1.iterrows():
+        got = out[(out.query_id == r.query_id)
+                  & (out.neighbor_id == r.neighbor_id)]
+        hit += int(len(got) > 0)
+    assert hit >= 3   # 5 queries; PQ at 8 sub x 256 is a coarse code
+
+
+def test_pq_codes_shape(emb):
+    from dqm_spark.operators.similarity import _pq_codebooks, pq_encode
+    books = _pq_codebooks(emb, "embedding", "vec_id", 64, 8, 256)
+    assert books.shape == (8, 256, 8)
+    row = pq_encode(emb.limit(20), books).select("pq_codes").first()
+    codes = row["pq_codes"]
+    assert len(codes) == 8 and all(0 <= c < 256 for c in codes)
