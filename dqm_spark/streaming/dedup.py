@@ -37,3 +37,27 @@ def streaming_exact_dedup(stream_df: DataFrame, content: str = "content",
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_fp"])
     )
+
+
+def streaming_signature_dedup(stream_df: DataFrame,
+                              content: str = "content",
+                              ts_col: str = "ingest_ts",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Streaming NEAR-dup guard: first occurrence of each 64-bit simhash
+    passes; later docs whose signature is byte-identical (hamming 0 —
+    whitespace/trigram-count-identical variants, not just byte-identical
+    content) are dropped within the watermark.
+
+    This is deliberately the hamming-0 slice of the batch simhash
+    operator: banded candidate joins need a second pass over state that
+    Structured Streaming's dedup operator cannot express, so the stream
+    guard catches the overwhelming bulk (identical + trivially-rehashed
+    copies, ~16 B of state per doc) and the periodic batch
+    simhash_dedup over the accumulated table handles the hamming 1-6
+    tail — the standard lambda split for continuous ingest."""
+    from ..operators.dedup import with_simhash
+    return (
+        with_simhash(stream_df, content)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )

@@ -15,7 +15,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from dqm_spark.streaming.dedup import streaming_exact_dedup
+from dqm_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_signature_dedup,
+)
 
 _SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -92,6 +95,68 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
         .write.mode("append").parquet(in_dir)
     out2 = _drain(spark, in_dir, ckpt, out_dir).toPandas()
     assert sorted(out2["content"]) == ["alpha", "beta", "new"]
+
+
+def test_streaming_signature_dedup_hamming_zero(spark, tmp_path):
+    """The streaming near-dup guard keys state on the 64-bit simhash:
+    signature-identical docs (hamming 0) are dropped within the
+    watermark, distinct docs pass, and the emitted simhash column is
+    bit-identical to the batch operator's (the periodic batch
+    simhash_dedup over the accumulated table relies on that)."""
+    from dqm_spark.operators.dedup import simhash_values, with_simhash
+
+    tmp = str(tmp_path)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    out_dir = os.path.join(tmp, "out")
+    os.makedirs(in_dir)
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    texts = [
+        "def alpha(x):\n    return x + 1\n",
+        "class Beta:\n    value = 42\n",
+        "def alpha(x):\n    return x + 1\n",   # byte-identical → ham 0
+        "SELECT * FROM gamma WHERE id = 7;\n",
+        "class Beta:\n    value = 42\n",       # byte-identical → ham 0
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "content": texts,
+        "ingest_ts": [base + pd.Timedelta(seconds=s)
+                      for s in range(len(texts))],
+    })
+    spark.createDataFrame(pdf, schema=_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    reader = spark.readStream.schema(_SCHEMA).parquet(in_dir)
+    deduped = streaming_signature_dedup(reader, "content", "ingest_ts",
+                                        watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = StructType(
+        _SCHEMA.fields + [StructField("simhash", LongType())])
+    out = spark.read.schema(out_schema).parquet(out_dir).toPandas()
+
+    # one survivor per distinct signature; both dup copies dropped
+    assert len(out) == 3
+    assert sorted(out["content"]) == sorted(set(texts))
+    # emitted signatures match the batch kernel bit-for-bit
+    expected = {t: int(h)
+                for t, h in zip(texts, simhash_values(texts))}
+    for _, row in out.iterrows():
+        assert int(row["simhash"]) == expected[row["content"]]
+    # and match the batch with_simhash column path too
+    batch = with_simhash(
+        spark.createDataFrame(pdf, schema=_SCHEMA), "content"
+    ).toPandas()
+    batch_map = dict(zip(batch["content"], batch["simhash"]))
+    for _, row in out.iterrows():
+        assert int(row["simhash"]) == int(batch_map[row["content"]])
 
 
 def test_streaming_dedup_null_vs_empty(spark, tmp_path):
