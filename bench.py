@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "doc_quality_scores", "doc_repetition_words",
     "doc_minhash_dedup", "doc_simhash_dedup",
     "doc_decontaminate", "doc_para_dedup",
-    "ann_bruteforce", "ann_lsh",
+    "ann_bruteforce", "ann_lsh", "ann_pq",
+    "doc_cluster_lsh", "doc_pack_bins", "doc_snapshot_latest",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]

@@ -632,3 +632,116 @@ def with_jaccard(pairs: DataFrame, left: str, right: str, k: int = 3,
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return pairs.withColumn(out, F.when(union > 0, inter / union).otherwise(0.0))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (LSH candidates -> exact verify -> connected components)
+# ---------------------------------------------------------------------------
+
+
+# most-recent near_dup_clusters reps cache (bounded to one call)
+_CLUSTER_POOL = CachePool()
+clear_cluster_cache = _CLUSTER_POOL.clear
+
+
+def near_dup_clusters(df: DataFrame, content: str, id_col: str,
+                      threshold: float = 0.9,
+                      max_bucket: int | None = None) -> DataFrame:
+    """(id, component) — full near-duplicate CLUSTERS at corpus scale:
+    minhash-LSH band buckets generate candidate pairs, exact trigram
+    Jaccard >= `threshold` verifies them, and large-star/small-star
+    connected components resolve transitivity. component = min doc id in
+    the cluster; singletons map to themselves.
+
+    This is the scale path that `q_doc_dedup_clusters`'s O(N²)
+    exact-pair oracle query verifies the CC half of: here candidate
+    generation is bucketed (linear in bucket occupancy sums), and the
+    quadratic step runs only WITHIN a band bucket of the already
+    digest-collapsed distinct contents — a swarm of byte-identical files
+    is one rep, so the classic boilerplate hot key never enumerates
+    pairs. A degenerate bucket of B *distinct-but-mutually-similar*
+    contents is intrinsically B² pairs IF the cluster really is that
+    large; `max_bucket` (optional) drops band buckets above that
+    occupancy as a guardrail for adversarial corpora (recall tradeoff:
+    a dropped bucket can only lose candidates that other bands usually
+    still catch).
+
+    Shuffle posture: content bytes never shuffle in the collapse (only
+    digest/bands/id tuples); the verify step joins the bounded candidate
+    pair list against (id, content) twice — AQE broadcasts the candidate
+    side when it is small, which at high thresholds it is.
+
+    dqm analog: the reference groups channels into planes by walking
+    fixed detector links (/root/reference/src/ChannelMap.cpp); here the
+    "links" are verified near-duplicate pairs discovered by LSH, and the
+    grouping must run at 10⁹+ nodes, hence the iterative contraction
+    (operators/graph.py)."""
+    from .graph import connected_components
+
+    banded = with_minhash_bands(df, content)
+    reps = (
+        banded.select(_content_digest(content).alias("__digest"),
+                      F.col(id_col), F.col("bands"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("rep_id"), F.min("bands").alias("bands"))
+    ).persist()
+    _CLUSTER_POOL.swap(reps)
+
+    buckets = reps.select(
+        "rep_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    if max_bucket is not None:
+        occ = buckets.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__occ"))
+        buckets = (buckets.join(occ, ["band_idx", "band_hash"])
+                   .where(F.col("__occ") <= max_bucket)
+                   .drop("__occ"))
+    cand = (
+        buckets.select(F.col("band_idx"), F.col("band_hash"),
+                       F.col("rep_id").alias("ra"))
+        .join(buckets.select(F.col("band_idx"), F.col("band_hash"),
+                             F.col("rep_id").alias("rb")),
+              ["band_idx", "band_hash"])
+        .where(F.col("rb") > F.col("ra"))
+        .select("ra", "rb")
+        .distinct()
+    ).persist()
+    _CLUSTER_POOL.swap(reps, cand)
+
+    # Exact-Jaccard verify. Shingle arrays are built ONCE per candidate
+    # doc and joined onto the pair list — the interpreted ~300-element
+    # shingle transform re-evaluated per PAIR dominates runtime 10-30x
+    # otherwise (same finding as _sim_pairs' per-doc CTE). Only ids that
+    # actually appear in a candidate pair are shingled (semi-join prune).
+    cand_ids = (cand.select(F.col("ra").alias("__tid"))
+                .unionByName(cand.select(F.col("rb").alias("__tid")))
+                .distinct())
+    c = F.col("__text")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1))),
+        lambda i: c.substr(i, F.lit(3))))
+    shingled = (
+        df.select(F.col(id_col).alias("__tid"), F.col(content).alias("__text"))
+        .join(cand_ids, "__tid", "semi")
+        .select("__tid", sh.alias("__s"))
+    )
+    pairs = (
+        cand.join(shingled.select(F.col("__tid").alias("ra"),
+                                  F.col("__s").alias("sa")), "ra")
+        .join(shingled.select(F.col("__tid").alias("rb"),
+                              F.col("__s").alias("sb")), "rb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    verified = pairs.where(jac >= F.lit(threshold)).select("ra", "rb")
+
+    comp = connected_components(verified, "ra", "rb")
+    rep_comp = (
+        reps.select("__digest", "rep_id")
+        .join(comp.withColumnRenamed("node", "rep_id"), "rep_id", "left")
+        .select("__digest",
+                F.coalesce("component",
+                           F.col("rep_id").cast("long")).alias("component"))
+    )
+    rows = df.select(F.col(id_col), _content_digest(content).alias("__digest"))
+    return rows.join(rep_comp, "__digest").select(F.col(id_col), "component")
