@@ -366,3 +366,45 @@ def test_snapshot_latest(spark):
         "concat('v', id) AS content")
     w = snapshot_latest(hot, ["repo", "path"], "commit_ts").collect()
     assert len(w) == 1 and w[0].commit_ts == 99_999
+
+
+def test_near_dup_clusters_transitivity_and_exact_swarm(spark):
+    """A chain A~B~C where sim(A,C) is still >= threshold must land in ONE
+    component labelled by the min doc id; byte-identical copies join their
+    rep's component through the digest collapse without ever reaching the
+    pair stage (one rep per distinct content); dissimilar docs stay
+    singletons mapped to themselves."""
+    import pandas as pd
+    from dqm_spark.operators.dedup import near_dup_clusters
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base, base + "x", base + "xy",        # near-dup chain
+                 base,                                  # exact copy of 1
+                 "totally different content here with no shared trigrams",
+                 base.upper()],                         # case-flip: far
+    })
+    out = near_dup_clusters(spark.createDataFrame(pdf), "text", "doc_id",
+                            threshold=0.9).toPandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[5] == 5 and comp[6] == 6
+
+
+def test_near_dup_clusters_max_bucket_guardrail(spark):
+    """max_bucket drops band buckets above the occupancy cap. With the cap
+    below the clique size every bucket the clique shares is dropped, so an
+    adversarial all-similar swarm degrades to singletons instead of
+    enumerating B^2 pairs; with the cap disabled the clique clusters."""
+    import pandas as pd
+    from dqm_spark.operators.dedup import near_dup_clusters
+    base = "common shared body of text repeated for bulk " * 15
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [base + f"tail{i}" for i in range(8)],
+    }))
+    full = near_dup_clusters(docs, "text", "doc_id", threshold=0.9).toPandas()
+    assert set(full["component"]) == {0}
+    capped = near_dup_clusters(docs, "text", "doc_id", threshold=0.9,
+                               max_bucket=1).toPandas()
+    assert list(capped.sort_values("doc_id")["component"]) == list(range(8))
