@@ -24,6 +24,14 @@ class CachePool:
         self.clear()
         self._dfs.extend(dfs)
 
+    def track(self, *dfs: DataFrame) -> None:
+        """Track additional persisted DataFrames WITHOUT releasing the
+        ones already registered — for an operator that persists several
+        intermediates within one call (swap releases the previous call's
+        set; calling swap again mid-call would unpersist this call's
+        earlier intermediates)."""
+        self._dfs.extend(dfs)
+
     def clear(self) -> None:
         while self._dfs:
             try:

@@ -227,6 +227,24 @@ def with_minhash_bands(df: DataFrame, content: str,
     return df.withColumn("bands", bands_udf(F.col(content)))
 
 
+def _collapse_reps(df: DataFrame, content: str, id_col: str,
+                   bands_col: str) -> DataFrame:
+    """(__digest, rep_id, <bands_col>) — one rep per DISTINCT content via
+    a partial-agg-safe ``groupBy(md5(content)).agg(min(id), min(bands))``.
+    The signature UDF runs map-side before the shuffle (once per row,
+    single pass), a swarm of 10⁷ byte-identical boilerplate files
+    collapses to one record per input partition, and only (digest,
+    bands, id) tuples ever shuffle — never content bytes. Shared skew
+    posture of every LSH tail (_bucket_min_dedup, near_dup_clusters)."""
+    return (
+        df.select(_content_digest(content).alias("__digest"),
+                  F.col(id_col), F.col(bands_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("rep_id"),
+             F.min(bands_col).alias(bands_col))
+    )
+
+
 def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
                       bands_col: str) -> DataFrame:
     """Shared LSH dedup tail, in three skew-aware steps:
@@ -248,13 +266,7 @@ def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
     semantics to electing directly from rows, since min id among rows
     with content c IS rep(c). No candidate pairs are ever enumerated."""
     from pyspark.sql import Window
-    reps = (
-        df.select(_content_digest(content).alias("__digest"),
-                  F.col(id_col), F.col(bands_col))
-        .groupBy("__digest")
-        .agg(F.min(id_col).alias("rep_id"),
-             F.min(bands_col).alias(bands_col))
-    )
+    reps = _collapse_reps(df, content, id_col, bands_col)
     exploded = reps.select(
         "__digest", "rep_id",
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
@@ -620,15 +632,21 @@ def embedding_cosine_dedup(df: DataFrame, vec: str = "embedding",
     )
 
 
+def _shingles(col, k: int = 3):
+    """Distinct char k-shingle array of a string Column — THE shingle
+    definition shared by every exact-Jaccard consumer (with_jaccard,
+    near_dup_clusters) and mirrored verbatim by the DuckDB oracles'
+    `substring(text, i, k) FOR i IN range(...)` expression; keep the
+    short-text `greatest(..., 1)` clamp in lockstep on both sides."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
 def with_jaccard(pairs: DataFrame, left: str, right: str, k: int = 3,
                  out: str = "jaccard") -> DataFrame:
     """Exact |A∩B|/|A∪B| over distinct char k-shingles of two string cols."""
-    def sh(col):
-        c = F.col(col)
-        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
-        return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
-
-    a, b = sh(left), sh(right)
+    a, b = _shingles(left, k), _shingles(right, k)
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return pairs.withColumn(out, F.when(union > 0, inter / union).otherwise(0.0))
@@ -671,6 +689,15 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     pair list against (id, content) twice — AQE broadcasts the candidate
     side when it is small, which at high thresholds it is.
 
+    `threshold` gates only the exact-Jaccard VERIFY stage; candidate
+    generation is the fixed 8-band × 8-row minhash banding tuned for the
+    J ≥ 0.9 recall contract. Passing a materially lower threshold
+    (≲0.85) keeps verification exact but loses candidate recall — a true
+    J = 0.75 pair shares a band bucket only ~55% of the time. NULL
+    content never enters the banded path: each NULL-text row is its own
+    singleton component (NULL ≠ NULL, matching the SQL oracle, unlike
+    the exact-dedup family's explicit all-NULLs-identical sentinel).
+
     dqm analog: the reference groups channels into planes by walking
     fixed detector links (/root/reference/src/ChannelMap.cpp); here the
     "links" are verified near-duplicate pairs discovered by LSH, and the
@@ -678,13 +705,9 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     (operators/graph.py)."""
     from .graph import connected_components
 
-    banded = with_minhash_bands(df, content)
-    reps = (
-        banded.select(_content_digest(content).alias("__digest"),
-                      F.col(id_col), F.col("bands"))
-        .groupBy("__digest")
-        .agg(F.min(id_col).alias("rep_id"), F.min("bands").alias("bands"))
-    ).persist()
+    nonnull = df.where(F.col(content).isNotNull())
+    banded = with_minhash_bands(nonnull, content)
+    reps = _collapse_reps(banded, content, id_col, "bands").persist()
     _CLUSTER_POOL.swap(reps)
 
     buckets = reps.select(
@@ -705,7 +728,7 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
         .select("ra", "rb")
         .distinct()
     ).persist()
-    _CLUSTER_POOL.swap(reps, cand)
+    _CLUSTER_POOL.track(cand)  # NOT swap — that would unpersist reps mid-call
 
     # Exact-Jaccard verify. Shingle arrays are built ONCE per candidate
     # doc and joined onto the pair list — the interpreted ~300-element
@@ -715,14 +738,11 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     cand_ids = (cand.select(F.col("ra").alias("__tid"))
                 .unionByName(cand.select(F.col("rb").alias("__tid")))
                 .distinct())
-    c = F.col("__text")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1))),
-        lambda i: c.substr(i, F.lit(3))))
     shingled = (
-        df.select(F.col(id_col).alias("__tid"), F.col(content).alias("__text"))
+        nonnull.select(F.col(id_col).alias("__tid"),
+                       F.col(content).alias("__text"))
         .join(cand_ids, "__tid", "semi")
-        .select("__tid", sh.alias("__s"))
+        .select("__tid", _shingles("__text").alias("__s"))
     )
     pairs = (
         cand.join(shingled.select(F.col("__tid").alias("ra"),
@@ -743,5 +763,10 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
                 F.coalesce("component",
                            F.col("rep_id").cast("long")).alias("component"))
     )
-    rows = df.select(F.col(id_col), _content_digest(content).alias("__digest"))
-    return rows.join(rep_comp, "__digest").select(F.col(id_col), "component")
+    rows = nonnull.select(F.col(id_col),
+                          _content_digest(content).alias("__digest"))
+    clustered = rows.join(rep_comp, "__digest").select(
+        F.col(id_col), "component")
+    null_singletons = df.where(F.col(content).isNull()).select(
+        F.col(id_col), F.col(id_col).cast("long").alias("component"))
+    return clustered.unionByName(null_singletons)

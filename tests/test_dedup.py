@@ -391,6 +391,26 @@ def test_near_dup_clusters_transitivity_and_exact_swarm(spark):
     assert comp[5] == 5 and comp[6] == 6
 
 
+def test_near_dup_clusters_null_text_singletons(spark):
+    """NULL-text rows never enter the banded path and each keeps its OWN
+    doc_id as its component (NULL != NULL, matching the SQL oracle's
+    empty-shingle semantics) — they must NOT collapse onto the shared
+    __null__ digest sentinel the exact-dedup family uses."""
+    import pandas as pd
+    from dqm_spark.operators.dedup import near_dup_clusters
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base + "x", None, None],
+    })
+    out = near_dup_clusters(spark.createDataFrame(pdf), "text", "doc_id",
+                            threshold=0.9).toPandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert len(out) == 4
+    assert comp[1] == comp[2] == 1
+    assert comp[3] == 3 and comp[4] == 4
+
+
 def test_near_dup_clusters_max_bucket_guardrail(spark):
     """max_bucket drops band buckets above the occupancy cap. With the cap
     below the clique size every bucket the clique shares is dropped, so an
