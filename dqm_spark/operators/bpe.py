@@ -1,0 +1,167 @@
+"""Distributed BPE tokenizer-vocabulary training.
+
+Scale split — which stage must survive 100 TB and which must not:
+
+* the corpus-wide WORD HISTOGRAM is the only stage that touches every
+  byte, and it is fully distributed: explode pre-tokenized words →
+  two-level hash aggregation (identical shuffle shape to
+  textstats.top_bigrams, partial map-side combine so a 10⁹-occurrence
+  keyword like ``def`` never concentrates on one task), capped at the
+  top-K most frequent words;
+* the MERGE LOOP then runs driver-side over the capped histogram —
+  BPE's classic formulation (Sennrich et al. 2016) trains from word
+  counts, not the corpus, and the histogram is bounded by the
+  pre-tokenizer's vocabulary (top_k rows), not corpus bytes. The
+  collect is bounded exactly like similarity.py's query/centroid
+  collects (top_k ≤ ~10⁵ short strings).
+* ENCODING with the learned merges is distributed again — an
+  Arrow-batched pandas UDF applying merges by rank, the standard
+  greedy lowest-rank loop.
+
+Word pattern is the dialect-safe ``[A-Za-z0-9_]+`` (identical semantics
+in Java regex and DuckDB's RE2 — no ``\\w``/``\\s`` class drift), so the
+pair-count stage has an exact SQL oracle.
+
+dqm analog: the reference trains its channel-response fits offline from
+aggregated waveforms and then broadcasts fixed coefficients to the
+per-record loop (/root/reference/src/DQMMeanRMS.cxx pattern); here the
+"fit" is the merge table learned from the aggregated histogram and the
+broadcast is the merge-rank dict inside the encode UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9_]+"
+
+
+def word_histogram(df: DataFrame, content: str = "content",
+                   top_k: int | None = None) -> DataFrame:
+    """(word, wcount) for every ``[A-Za-z0-9_]+`` word, descending by
+    (wcount, word). The explode → groupBy is the whole corpus-sized
+    stage: partial aggregation collapses repeated words map-side, so
+    only (word, partial-count) pairs shuffle."""
+    words = df.select(
+        F.explode(F.regexp_extract_all(F.col(content), F.lit(WORD_RE),
+                                       F.lit(0)))
+        .alias("word"))
+    hist = (words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wcount"))
+            .orderBy(F.desc("wcount"), F.asc("word")))
+    return hist.limit(top_k) if top_k else hist
+
+
+def pair_counts(hist: DataFrame) -> DataFrame:
+    """Weighted adjacent CHAR-pair counts over a word histogram — the
+    first BPE merge iteration's scoring table, kept fully relational so
+    DuckDB can restate it (substring pairs via posexplode of a
+    sequence). Input is the (word, wcount) histogram, so cost is
+    O(distinct words · word length), never corpus-sized."""
+    w = F.col("word")
+    idx = F.sequence(F.lit(1), F.length(w) - 1)
+    return (
+        hist.where(F.length(w) >= 2)
+        .select(F.explode(F.transform(
+            idx, lambda i: w.substr(i, F.lit(2)))).alias("pair"),
+            F.col("wcount"))
+        .groupBy("pair")
+        .agg(F.sum("wcount").alias("pcount"))
+    )
+
+
+def bpe_learn(hist_rows: list[tuple[str, int]],
+              n_merges: int = 100) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, count) histogram —
+    driver-side by design (see module docstring). Deterministic: ties
+    break on the lexicographically smallest (a, b) pair. Returns merges
+    in rank order."""
+    seqs: dict[tuple[str, ...], int] = {}
+    for word, cnt in hist_rows:
+        key = tuple(word)
+        seqs[key] = seqs.get(key, 0) + int(cnt)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, cnt in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        merges.append(best_pair)
+        a, b = best_pair
+        ab = a + b
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, cnt in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + cnt
+        seqs = new_seqs
+    return merges
+
+
+def train_bpe(df: DataFrame, content: str = "content",
+              n_merges: int = 100, top_k: int = 100_000
+              ) -> list[tuple[str, str]]:
+    """End-to-end: distributed histogram → bounded collect → merge loop."""
+    rows = word_histogram(df, content, top_k=top_k).collect()
+    return bpe_learn([(r["word"], r["wcount"]) for r in rows], n_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word)
+    while len(syms) >= 2:
+        ranked = [(ranks.get((a, b)), i)
+                  for i, (a, b) in enumerate(zip(syms, syms[1:]))]
+        ranked = [(r, i) for r, i in ranked if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def with_bpe_tokens(df: DataFrame, merges: list[tuple[str, str]],
+                    content: str = "content",
+                    out: str = "bpe_learned_tokens") -> DataFrame:
+    """Token count per doc under the learned merge table — greedy
+    lowest-rank merging, the standard BPE encode. Arrow-batched pandas
+    UDF; the merge-rank dict rides the closure (broadcast once per
+    executor), the per-word encode is memoized per batch because code
+    corpora repeat identifiers heavily."""
+    import re
+    ranks = {p: i for i, p in enumerate(merges)}
+    word_re = re.compile(WORD_RE)
+
+    def counts(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, int] = {}
+        for s in it:
+            vals = []
+            for text in s:
+                if text is None:
+                    vals.append(None)
+                    continue
+                n = 0
+                for w in word_re.findall(text):
+                    if w not in memo:
+                        memo[w] = len(_encode_word(w, ranks))
+                    n += memo[w]
+                vals.append(n)
+            yield pd.Series(vals, dtype="Int64")
+
+    udf = F.pandas_udf(counts, "long")
+    return df.withColumn(out, udf(F.col(content)))

@@ -1,0 +1,79 @@
+"""BPE tokenizer-vocabulary training: golden merges, histogram parity,
+encode consistency. The pair_counts stage additionally carries a full
+DuckDB oracle in __spark_entry__ (doc_bpe_pairs)."""
+
+import pandas as pd
+
+from dqm_spark.operators.bpe import (
+    bpe_learn, pair_counts, train_bpe, with_bpe_tokens, word_histogram)
+
+
+def test_bpe_learn_golden():
+    """Hand-checkable corpus: 'aaab' x3 + 'aab' x1. Pairs: aa=3*2+1=7,
+    ab=4 -> merge ('a','a'); aaab -> [aa,a,b], aab -> [aa,b]; now
+    ('aa','a')=3 ties ('a','b')=3 and the lexicographic tie-break picks
+    ('a','b'); aaab -> [aa,ab]; finally ('aa','ab')=3 beats
+    ('aa','b')=1."""
+    merges = bpe_learn([("aaab", 3), ("aab", 1)], n_merges=3)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+
+def test_bpe_learn_tie_break_deterministic():
+    """Equal-count pairs pick the lexicographically smallest."""
+    merges = bpe_learn([("xy", 2), ("ab", 2)], n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_word_histogram_and_pair_counts_parity(spark):
+    pdf = pd.DataFrame({"content": [
+        "def foo(x): return x + foo_bar",
+        "class Foo: pass  # foo",
+        None,
+        "",
+    ]})
+    hist = word_histogram(spark.createDataFrame(pdf), "content").toPandas()
+    got = dict(zip(hist["word"], hist["wcount"]))
+    import re
+    exp: dict[str, int] = {}
+    for t in pdf["content"]:
+        for w in re.findall("[A-Za-z0-9_]+", t or ""):
+            exp[w] = exp.get(w, 0) + 1
+    assert got == exp
+    # ordering contract: descending count, then word
+    assert list(hist.itertuples(index=False)) == sorted(
+        hist.itertuples(index=False), key=lambda r: (-r.wcount, r.word))
+
+    pc = pair_counts(
+        word_histogram(spark.createDataFrame(pdf), "content")).toPandas()
+    got_pc = dict(zip(pc["pair"], pc["pcount"]))
+    exp_pc: dict[str, int] = {}
+    for w, c in exp.items():
+        for i in range(len(w) - 1):
+            exp_pc[w[i:i + 2]] = exp_pc.get(w[i:i + 2], 0) + c
+    assert got_pc == exp_pc
+
+
+def test_train_and_encode_end_to_end(spark):
+    pdf = pd.DataFrame({"content": [
+        "def process(data): return process(data)",
+        "def process(item): yield item",
+        "process process process",
+        None,
+    ]})
+    df = spark.createDataFrame(pdf)
+    merges = train_bpe(df, "content", n_merges=50, top_k=1000)
+    assert merges  # learned something
+    out = with_bpe_tokens(df, merges, "content").toPandas()
+    got = dict(zip(range(len(out)), out["bpe_learned_tokens"]))
+    assert pd.isna(got[3])
+    # after 50 merges on this tiny vocab every word is a single token,
+    # so the count equals the word count
+    import re
+    for i, t in enumerate(pdf["content"][:3]):
+        assert got[i] <= len(re.findall("[A-Za-z0-9_]+", t))
+        assert got[i] >= 1
+    # fewer merges can never yield fewer tokens than more merges
+    out0 = with_bpe_tokens(df, merges[:1], "content").toPandas()
+    assert all(
+        a >= b for a, b in zip(out0["bpe_learned_tokens"][:3],
+                               out["bpe_learned_tokens"][:3]))
