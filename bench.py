@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "doc_decontaminate", "doc_para_dedup",
     "ann_bruteforce", "ann_lsh", "ann_pq",
     "doc_cluster_lsh", "doc_pack_bins", "doc_snapshot_latest",
+    # added round 3 (grows the suite total vs r1/r2 snapshots; compare
+    # per-query, not the summed value)
+    "doc_bpe_pairs", "doc_tfidf_top_terms",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]

@@ -14,6 +14,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .cachepool import CachePool
+
+_TFIDF_POOL = CachePool()
+clear_tfidf_cache = _TFIDF_POOL.clear
 
 
 def with_token_counts(df: DataFrame, content: str = "content") -> DataFrame:
@@ -174,3 +178,48 @@ def with_langid_heuristic(df: DataFrame, spark, content: str = "content") -> Dat
         "langid_pred": s["langid_pred"],
         "langid_conf": s["langid_conf"],
     })
+
+
+def tfidf_top_terms(df: DataFrame, content: str = "content",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by idf-weighted relevance (keyword
+    extraction). Terms are ``[A-Za-z0-9_]+`` words; relevance is
+    ``tf / df`` — monotone in tf·idf for ANY strictly-decreasing idf,
+    and, unlike ln-based idf, a single IEEE division of two BIGINTs,
+    bit-identical across engines, so the rank cut is oracle-exact.
+
+    Scale shape (100 TB): the tf aggregation keys on (doc, term) —
+    doc-local, partial map-side combine; the df table aggregates the
+    already-distinct (doc, term) pairs by term (partial agg absorbs
+    stopword-hot keys); the join-back on term is vocab×corpus-terms and
+    leans on AQE skew split for stopword postings; the ranking window
+    partitions by document — doc-local, no corpus-wide hot key, and
+    WindowGroupLimit pushes the rank<=k cut map-side. The tf table
+    feeds BOTH the df branch and the join probe — without a persist the
+    df branch recomputes it from a second full corpus scan (AQE never
+    reuses exchanges across branches; see dedup.py's identical
+    pattern), so it is cached via the module CachePool (one bounded
+    entry, released on the next call).
+
+    dqm analog: per-channel top-k outlier election over plane-aggregated
+    counts (/root/reference/src/Hist.cxx fills per-channel histograms and
+    the Kafka exporter ships the per-group extrema).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    c = F.col(content)
+    words = (df.where(c.isNotNull())
+             .select(F.col(id_col),
+                     F.explode(F.regexp_extract_all(
+                         c, F.lit("[A-Za-z0-9_]+"), F.lit(0))).alias("term")))
+    tf = (words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _TFIDF_POOL.swap(tf)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score", F.col("tf").cast("double") / F.col("df")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "rank"))

@@ -265,3 +265,32 @@ def test_exact_stratified_sample_dup_keys_and_column_safety(spark):
     assert set(out.columns) == {"k", "lang", "payload", "rnk"}
     orig = pdf.set_index("payload")["rnk"]
     assert all(orig[p] == r for p, r in zip(out.payload, out.rnk))
+
+
+def test_tfidf_top_terms_golden(spark):
+    """Hand-checked corpus: 'rare' appears only in doc 0 (tf=2, df=1,
+    score 2.0) and must outrank 'common' (tf=3, df=3, score 1.0); the
+    doc-2 tie between x and y (both tf=1 df=1) breaks on term asc."""
+    import pandas as pd
+    from dqm_spark.operators.textstats import tfidf_top_terms
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "common rare rare common common",
+            "common shared",
+            "y x common shared",
+            None,
+        ],
+    })
+    out = (tfidf_top_terms(spark.createDataFrame(pdf), "text", "doc_id", k=2)
+           .toPandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    got = [(r.doc_id, r.term, r.tf, r.df, r.rank)
+           for r in out.itertuples(index=False)]
+    assert got == [
+        (0, "rare", 2, 1, 1),    # 2/1 beats common's 3/3
+        (0, "common", 3, 3, 2),
+        (1, "shared", 1, 2, 1),  # 1/2 beats common's 1/3
+        (1, "common", 1, 3, 2),
+        (2, "x", 1, 1, 1),       # tie with y -> term asc
+        (2, "y", 1, 1, 2),
+    ]
