@@ -37,23 +37,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_RE = "[A-Za-z0-9_]+"
+from ..functions.text import WORD_PATTERN as WORD_RE
 
 
 def word_histogram(df: DataFrame, content: str = "content",
                    top_k: int | None = None) -> DataFrame:
-    """(word, wcount) for every ``[A-Za-z0-9_]+`` word, descending by
-    (wcount, word). The explode → groupBy is the whole corpus-sized
-    stage: partial aggregation collapses repeated words map-side, so
-    only (word, partial-count) pairs shuffle."""
+    """(word, wcount) for every ``[A-Za-z0-9_]+`` word. The explode →
+    groupBy is the whole corpus-sized stage: partial aggregation
+    collapses repeated words map-side, so only (word, partial-count)
+    pairs shuffle.
+
+    With ``top_k`` the result is the top-k by (wcount desc, word asc) —
+    the sort exists solely to make that cut deterministic, so without a
+    cap the histogram is returned UNORDERED: an unconditional global
+    orderBy would range-shuffle the entire vocabulary only for a
+    downstream groupBy to discard the order."""
     words = df.select(
         F.explode(F.regexp_extract_all(F.col(content), F.lit(WORD_RE),
                                        F.lit(0)))
         .alias("word"))
-    hist = (words.groupBy("word")
-            .agg(F.count(F.lit(1)).alias("wcount"))
-            .orderBy(F.desc("wcount"), F.asc("word")))
-    return hist.limit(top_k) if top_k else hist
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+    if top_k is not None:
+        hist = hist.orderBy(F.desc("wcount"), F.asc("word")).limit(top_k)
+    return hist
 
 
 def pair_counts(hist: DataFrame) -> DataFrame:
@@ -141,15 +147,20 @@ def with_bpe_tokens(df: DataFrame, merges: list[tuple[str, str]],
     """Token count per doc under the learned merge table — greedy
     lowest-rank merging, the standard BPE encode. Arrow-batched pandas
     UDF; the merge-rank dict rides the closure (broadcast once per
-    executor), the per-word encode is memoized per batch because code
-    corpora repeat identifiers heavily."""
+    executor), the per-word encode is memoized across the task's batches
+    because code corpora repeat identifiers heavily — bounded (entries
+    are word→int) so a partition with millions of distinct identifiers
+    cannot grow the dict past ~tens of MB."""
     import re
     ranks = {p: i for i, p in enumerate(merges)}
     word_re = re.compile(WORD_RE)
+    memo_cap = 500_000
 
     def counts(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         memo: dict[str, int] = {}
         for s in it:
+            if len(memo) > memo_cap:
+                memo.clear()
             vals = []
             for text in s:
                 if text is None:

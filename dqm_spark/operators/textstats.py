@@ -212,7 +212,7 @@ def tfidf_top_terms(df: DataFrame, content: str = "content",
     words = (df.where(c.isNotNull())
              .select(F.col(id_col),
                      F.explode(F.regexp_extract_all(
-                         c, F.lit("[A-Za-z0-9_]+"), F.lit(0))).alias("term")))
+                         c, F.lit(T.WORD_PATTERN), F.lit(0))).alias("term")))
     tf = (words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     _TFIDF_POOL.swap(tf)

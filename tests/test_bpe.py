@@ -39,9 +39,15 @@ def test_word_histogram_and_pair_counts_parity(spark):
         for w in re.findall("[A-Za-z0-9_]+", t or ""):
             exp[w] = exp.get(w, 0) + 1
     assert got == exp
-    # ordering contract: descending count, then word
-    assert list(hist.itertuples(index=False)) == sorted(
-        hist.itertuples(index=False), key=lambda r: (-r.wcount, r.word))
+    # top_k path: deterministic (wcount desc, word asc) cut
+    top2 = word_histogram(
+        spark.createDataFrame(pdf), "content", top_k=2).toPandas()
+    exp_top2 = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert list(zip(top2["word"], top2["wcount"])) == exp_top2
+    # top_k=0 means an EMPTY cap, not "no cap" (the falsy-zero trap
+    # would collect the whole vocabulary driver-side in train_bpe)
+    assert word_histogram(
+        spark.createDataFrame(pdf), "content", top_k=0).count() == 0
 
     pc = pair_counts(
         word_histogram(spark.createDataFrame(pdf), "content")).toPandas()
