@@ -170,6 +170,21 @@ def run(
     commits remain on the caller thread (single-writer, atomic per
     bucket), so kill/resume semantics are identical to the sequential
     path: at most max_parallel_buckets in-flight buckets are lost.
+
+    Sizing rules (measured, see BASELINE.md "spark-submit scaling"):
+
+    * a bucket's file count bounds its job's parallelism — parquet
+      cannot split below row groups, so files-per-bucket must be >= the
+      cluster's task slots or the extra slots idle (64 files / 8 buckets
+      = 8 effective tasks capped a local[32] run at 8-way parallelism);
+    * on SHARED executors (local mode; one executor per host),
+      concurrent bucket jobs oversubscribe the same task slots —
+      4 jobs x 32 threads measured ~4x per-bucket slowdown at local[32].
+      Raise max_parallel_buckets only when buckets are too small to fill
+      the cluster alone;
+    * under spark-submit, pass --driver-memory explicitly (local mode:
+      ~1 GB/core) — the session builder cannot set it post-launch
+      (get_spark warns when the JVM heap is far below the sizing).
     """
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     ensure_on_executors(spark)

@@ -61,4 +61,31 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warn_if_heap_underprovisioned(spark, cpus)
+    return spark
+
+
+def _warn_if_heap_underprovisioned(spark: SparkSession, cpus: int) -> None:
+    """`spark.driver.memory` set through the builder is a NO-OP when the
+    JVM already exists — i.e. under `spark-submit`, which launches the
+    JVM before any Python runs (default 1 g). A 1 g heap with 32 task
+    threads OOMs the vectorized parquet reader under concurrent jobs
+    (observed: FAILED_READ_FILE + "Cannot reserve additional contiguous
+    bytes" at local[32] --max-parallel-buckets 4). Detect the mismatch
+    and tell the operator the flag that actually works at launch time."""
+    try:
+        jvm_max_gb = (spark.sparkContext._jvm.java.lang.Runtime
+                      .getRuntime().maxMemory() / (1 << 30))
+        want_gb = max(8, cpus)
+        if jvm_max_gb < want_gb * 0.5:
+            import warnings
+            warnings.warn(
+                f"driver JVM heap is {jvm_max_gb:.1f} GiB but the session "
+                f"sizing wants ~{want_gb} GiB for {cpus} task threads. "
+                "Under spark-submit the builder's spark.driver.memory is "
+                "ignored (JVM already started) — pass "
+                f"`--driver-memory {want_gb}g` on the spark-submit "
+                "command line.", RuntimeWarning, stacklevel=3)
+    except Exception:
+        pass  # non-JVM test doubles / future API drift must not break startup
