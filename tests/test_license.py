@@ -1,0 +1,39 @@
+"""License detection: SPDX precedence, phrase families, NULL/unknown.
+The rollup additionally carries a full planted-corpus DuckDB oracle
+(doc_license_rollup in __spark_entry__)."""
+
+import pandas as pd
+
+from dqm_spark.operators.license import license_rollup, with_license
+
+
+def test_detect_precedence_and_families(spark):
+    pdf = pd.DataFrame({"content": [
+        # SPDX tag wins even when a phrase is also present
+        "SPDX-License-Identifier: BSD-3-Clause\nMIT License\ncode here",
+        "// SPDX-License-Identifier:Apache-2.0",
+        "Licensed under the Apache License, Version 2.0 (the 'License')",
+        "Apache License Version 2.0",         # comma optional
+        "MIT License\n\nCopyright (c) 2020",
+        "Permission is hereby granted, free of charge, to any person",
+        "This program is free software: GNU General Public License v3",
+        "Redistribution and use in source and binary forms, with or",
+        "def foo():\n    return 1",            # no license
+        None,
+    ]})
+    out = with_license(spark.createDataFrame(pdf), "content").toPandas()
+    assert list(out["license"]) == [
+        "BSD-3-Clause", "Apache-2.0", "Apache-2.0", "Apache-2.0",
+        "MIT", "MIT", "GPL", "BSD", "unknown", None]
+
+
+def test_rollup_counts(spark):
+    pdf = pd.DataFrame({
+        "content": ["MIT License"] * 3 + ["x = 1"] * 2,
+        "lang": ["py"] * 5,
+    })
+    out = license_rollup(
+        spark.createDataFrame(pdf), "content", "lang").toPandas()
+    got = {(r.license, r.lang): r.n_files
+           for r in out.itertuples(index=False)}
+    assert got == {("MIT", "py"): 3, ("unknown", "py"): 2}
