@@ -159,8 +159,6 @@ def with_bpe_tokens(df: DataFrame, merges: list[tuple[str, str]],
     def counts(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         memo: dict[str, int] = {}
         for s in it:
-            if len(memo) > memo_cap:
-                memo.clear()
             vals = []
             for text in s:
                 if text is None:
@@ -168,9 +166,15 @@ def with_bpe_tokens(df: DataFrame, merges: list[tuple[str, str]],
                     continue
                 n = 0
                 for w in word_re.findall(text):
-                    if w not in memo:
-                        memo[w] = len(_encode_word(w, ranks))
-                    n += memo[w]
+                    n_enc = memo.get(w)
+                    if n_enc is None:
+                        n_enc = len(_encode_word(w, ranks))
+                        # stop INSERTING at the cap (checked per word, so
+                        # a single giant batch cannot blow past it, and
+                        # the hot entries already cached are kept)
+                        if len(memo) < memo_cap:
+                            memo[w] = n_enc
+                    n += n_enc
                 vals.append(n)
             yield pd.Series(vals, dtype="Int64")
 

@@ -42,11 +42,15 @@ def detect_license_col(content) -> Column:
     present, else the first matching phrase family, else 'unknown';
     NULL content stays NULL."""
     c = F.col(content) if isinstance(content, str) else content
+    # regexp_extract returns '' on no match and the capture group needs
+    # >= 1 char, so one extract doubles as the match test — the rlike
+    # guard would scan the content with the same pattern a second time
+    # in this corpus-sized projection
     spdx = F.regexp_extract(c, SPDX_PATTERN, 1)
     out = F.lit("unknown")
     for lic, pat in reversed(PHRASE_PATTERNS):
         out = F.when(c.rlike(pat), F.lit(lic)).otherwise(out)
-    out = F.when(c.rlike(SPDX_PATTERN), spdx).otherwise(out)
+    out = F.when(spdx != "", spdx).otherwise(out)
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 

@@ -73,19 +73,30 @@ def _warn_if_heap_underprovisioned(spark: SparkSession, cpus: int) -> None:
     threads OOMs the vectorized parquet reader under concurrent jobs
     (observed: FAILED_READ_FILE + "Cannot reserve additional contiguous
     bytes" at local[32] --max-parallel-buckets 4). Detect the mismatch
-    and tell the operator the flag that actually works at launch time."""
+    and tell the operator the flag that actually works at launch time.
+
+    Sizing uses the ACTUAL task-slot count of the running context
+    (local-mode only: there the driver JVM is the executor; on a cluster
+    master the executors are separate JVMs and a small driver heap is
+    legitimate, so no warning). Using the env-derived cpu count here
+    would mis-warn a correctly sized `--master local[8] --driver-memory
+    8g` launch on a 32-core host."""
     try:
-        jvm_max_gb = (spark.sparkContext._jvm.java.lang.Runtime
+        sc = spark.sparkContext
+        if not sc.master.startswith("local"):
+            return
+        slots = sc.defaultParallelism  # local[N] -> N
+        want_gb = max(8, slots)
+        jvm_max_gb = (sc._jvm.java.lang.Runtime
                       .getRuntime().maxMemory() / (1 << 30))
-        want_gb = max(8, cpus)
         if jvm_max_gb < want_gb * 0.5:
             import warnings
             warnings.warn(
-                f"driver JVM heap is {jvm_max_gb:.1f} GiB but the session "
-                f"sizing wants ~{want_gb} GiB for {cpus} task threads. "
-                "Under spark-submit the builder's spark.driver.memory is "
-                "ignored (JVM already started) — pass "
-                f"`--driver-memory {want_gb}g` on the spark-submit "
+                f"driver JVM heap is {jvm_max_gb:.1f} GiB but local mode "
+                f"with {slots} task slots wants ~{want_gb} GiB (~1 GB/"
+                "core). Under spark-submit the builder's "
+                "spark.driver.memory is ignored (JVM already started) — "
+                f"pass `--driver-memory {want_gb}g` on the spark-submit "
                 "command line.", RuntimeWarning, stacklevel=3)
     except Exception:
         pass  # non-JVM test doubles / future API drift must not break startup
