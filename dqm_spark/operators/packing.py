@@ -95,3 +95,41 @@ def pack_sequences(df: DataFrame, token_col: str, order_col: str,
         .withColumn("bin_offset", (start % F.lit(capacity)).cast("long"))
         .drop("__cum")
     )
+
+
+def chunk_documents(df: DataFrame, content: str = "content",
+                    id_col: str = "doc_id", size: int = 2048,
+                    stride: int | None = None) -> DataFrame:
+    """Sliding-window chunking: split each document into fixed-`size`
+    character windows starting every `stride` characters (default:
+    non-overlapping, stride = size) — the other half of training
+    sequence prep next to `pack_sequences` (long docs are chunked FIRST,
+    then the chunks are packed). Output: the caller's id column plus
+    (chunk_idx, chunk_start, chunk_text); the final window may be
+    shorter; NULL/empty content yields no chunks.
+
+    Scale shape (100 TB): entirely doc-local — one Generate (explode of
+    the start-position sequence) plus a substring projection, zero
+    shuffle, fan-out bounded by ceil(len/stride) per doc; whole-stage
+    codegen end to end. Start positions are 1-based (`substr`
+    semantics), which is also what makes the DuckDB oracle restate the
+    operator verbatim.
+
+    dqm analog: the fixed-frame windowing of the readout stream —
+    records are cut into constant-size frames with a configured stride
+    before per-frame processing (/root/reference/include/dqm/
+    Decoder.hpp frame iteration).
+    """
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    c = F.col(content)
+    starts = F.sequence(F.lit(1), F.length(c), F.lit(stride))
+    return (df.where(c.isNotNull() & (F.length(c) > 0))
+            .select(F.col(id_col),
+                    F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+                    c.alias("__c"))
+            .select(id_col, "chunk_idx", "chunk_start",
+                    F.expr(f"substr(__c, chunk_start, {int(size)})")
+                    .alias("chunk_text")))

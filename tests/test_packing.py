@@ -51,3 +51,44 @@ def test_prefix_sum_empty_input(spark):
                          StructField("v", LongType())])
     df = spark.createDataFrame([], schema)
     assert with_prefix_sum(df, "v", "k").count() == 0
+
+
+def test_chunk_documents_hand_example(spark):
+    """10-char doc, size 4 / stride 3: starts 1,4,7,10 -> chunks
+    'abcd','defg','ghij','j' (last two shorter/tail)."""
+    import pandas as pd
+    from dqm_spark.operators.packing import chunk_documents
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["abcdefghij", "", None]})
+    out = (chunk_documents(spark.createDataFrame(pdf), "text", "doc_id",
+                           size=4, stride=3)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    got = [(r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+           for r in out.itertuples(index=False)]
+    assert got == [(1, 0, 1, "abcd"), (1, 1, 4, "defg"),
+                   (1, 2, 7, "ghij"), (1, 3, 10, "j")]
+
+
+def test_chunk_documents_nonoverlap_reassembles(spark):
+    """Default stride == size: concatenating chunks in order restores
+    the document byte-for-byte."""
+    import pandas as pd
+    from dqm_spark.operators.packing import chunk_documents
+    texts = ["x" * 257, "line one\nline two\n" * 40, "short", "é世" * 99]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (chunk_documents(spark.createDataFrame(pdf), "text", "doc_id",
+                           size=64)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    for i, t in enumerate(texts):
+        assert "".join(out[out.doc_id == i]["chunk_text"]) == t
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pandas as pd
+    import pytest
+    from dqm_spark.operators.packing import chunk_documents
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=4, stride=0)
