@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     # added round 3 (grows the suite total vs r1/r2 snapshots; compare
     # per-query, not the summed value)
     "doc_bpe_pairs", "doc_tfidf_top_terms",
+    "doc_entropy_secrets", "doc_incremental_dedup",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]

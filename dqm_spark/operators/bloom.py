@@ -1,0 +1,165 @@
+"""Bloom-prefiltered incremental dedup: new-batch vs existing-corpus.
+
+The at-scale ingest problem: a daily crawl/repo batch (10^7-10^9 files)
+must be deduplicated against an existing corpus (10^11-10^12 files).
+A plain anti-join shuffles BOTH sides on the content key — at corpus
+scale that is the bottleneck. The standard fix (same idea as Spark's
+runtime row-group bloom pruning, and the reference's cheap-predicate-
+before-expensive-check rule ordering) is:
+
+1. build a Bloom filter over the corpus's content keys — one corpus
+   scan, map-side partial bitmaps OR-combined (no shuffle);
+2. broadcast it and test the batch — eliminates the ~(1 - dup_rate)
+   novel majority at false-positive rate `fpp` with zero shuffle;
+3. exact-verify only the bloom HITS against the corpus with a
+   broadcast semi-join on md5 digests (hits ≈ dups + fpp·batch, small).
+
+The result is EXACT (bloom only prunes; step 3 removes false
+positives), so a plain SQL anti-join oracle can restate it.
+
+Why not `df.stat.bloomFilter`: its JVM BloomFilter object cannot cross
+into Arrow UDFs or be rebuilt workers-side without py4j round-trips;
+this numpy implementation builds per-partition bitmaps in mapInPandas
+(Arrow batches, no per-row Python) and probes in a vectorized
+pandas_udf against a broadcast byte-string.
+
+100 TB shape: the bitmap for 10^9 keys @ 1% fpp is ~1.2 GB — fine to
+broadcast; for a 10^12-key corpus shard the filter by digest prefix
+(build S independent blooms, probe routes each key to its shard) —
+the plumbing below is shard-oblivious because both build and probe key
+on xxhash64(content). Driver-side OR here folds ~numPartitions small
+arrays; a real cluster would treeAggregate them (2-level OR) to keep
+driver ingress at O(m · sqrt(P)).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .dedup import _content_digest
+
+_MAX_BITS = 1 << 33  # 1 GiB bitmap cap for the single-bloom local path
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n items at the target fpp."""
+    n = max(n_items, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) & ~63)  # whole uint64 words
+    if m > _MAX_BITS:
+        raise ValueError(
+            f"bloom would need {m} bits for n={n_items}; shard the "
+            "corpus by digest prefix instead of one giant filter")
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants) used to
+    derive the second probe hash from xxhash64's output."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _positions(keys: np.ndarray, m: int, k: int) -> Iterator[np.ndarray]:
+    """k probe positions per key (Kirsch-Mitzenmacher double hashing:
+    h1 + i*h2 mod m — two derived hashes give k independent-enough
+    probes without k hash evaluations)."""
+    u = keys.astype(np.uint64)
+    h1 = u % np.uint64(m)
+    h2 = np.uint64(1) + _splitmix64(u) % np.uint64(m - 1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(df: DataFrame, content: str,
+                expected_items: int | None = None,
+                fpp: float = 0.01) -> tuple[bytes, int, int]:
+    """(bitmap bytes, m, k) over xxhash64(content) of every row.
+
+    One corpus scan; each partition folds its Arrow batches into a
+    local bitmap and emits it once, the driver ORs ~numPartitions
+    arrays. If expected_items is None an extra count() scan sizes the
+    filter first (pass the known corpus size to skip it).
+    """
+    keys = df.select(F.xxhash64(F.col(content)).alias("__k"))
+    n = expected_items if expected_items is not None else keys.count()
+    m, k = bloom_params(n, fpp)
+    nbytes = m // 8
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if not len(b):
+                continue
+            seen = True
+            arr = b["__k"].to_numpy(dtype=np.int64)
+            for pos in _positions(arr, m, k):
+                np.bitwise_or.at(bits, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = keys.mapInPandas(_partial, schema="bitmap binary").collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out.tobytes(), m, k
+
+
+def might_contain_udf(spark: SparkSession, bitmap: bytes, m: int, k: int):
+    """Vectorized membership probe against the broadcast bitmap."""
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _probe(keys: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        arr = keys.to_numpy(dtype=np.int64)
+        hit = np.ones(len(arr), dtype=bool)
+        for pos in _positions(arr, m, k):
+            hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    return _probe
+
+
+def incremental_exact_dedup(batch: DataFrame, corpus: DataFrame,
+                            content: str = "content",
+                            expected_corpus_items: int | None = None,
+                            fpp: float = 0.01) -> DataFrame:
+    """Batch rows + `is_novel` (content not byte-present in corpus).
+
+    Exact semantics (== an anti-join on content), but only the bloom
+    HITS ever reach a join: novel-majority batches shuffle nothing.
+    The verify side broadcasts the distinct hit digests (small by
+    construction) against one corpus scan — the corpus itself is never
+    shuffled or collected.
+    """
+    spark = batch.sparkSession
+    bitmap, m, k = build_bloom(corpus, content, expected_corpus_items, fpp)
+    probe = might_contain_udf(spark, bitmap, m, k)
+
+    keyed = batch.withColumn("__digest", _content_digest(content)) \
+                 .withColumn("__hit", probe(F.xxhash64(F.col(content))))
+    hits = keyed.filter(F.col("__hit")).select("__digest").distinct()
+    present = (
+        corpus.select(_content_digest(content).alias("__digest"))
+        .join(F.broadcast(hits), "__digest", "left_semi")
+        .distinct()
+        .withColumn("__present", F.lit(True))
+    )
+    return (
+        keyed.join(F.broadcast(present), "__digest", "left")
+        .withColumn("is_novel", F.col("__present").isNull())
+        .drop("__digest", "__hit", "__present")
+    )

@@ -1,0 +1,95 @@
+"""Bloom-prefiltered incremental dedup (operators/bloom.py).
+
+The contract is EXACTNESS: is_novel must equal the plain anti-join
+truth regardless of bloom false positives (they are verify-filtered)
+— and bloom false negatives must be impossible (every built key
+probes true). Plus: fpp sanity on non-members and a plan check that
+the only exchanges on the decision path are broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.bloom import (
+    bloom_params, build_bloom, incremental_exact_dedup, might_contain_udf,
+)
+
+
+def test_bloom_params_sane():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and m > 1000
+    assert 1 <= k <= 20
+    with pytest.raises(ValueError, match="shard"):
+        bloom_params(10**12, 0.0001)
+
+
+def test_no_false_negatives_and_fpp(spark):
+    members = [(f"doc-{i}",) for i in range(2000)]
+    df = spark.createDataFrame(members, ["content"])
+    bitmap, m, k = build_bloom(df, "content", expected_items=2000, fpp=0.01)
+    probe = might_contain_udf(spark, bitmap, m, k)
+    hits = spark.createDataFrame(members, ["content"]) \
+        .select(probe(F.xxhash64("content")).alias("h")).collect()
+    assert all(r["h"] for r in hits)  # false negatives: impossible
+
+    non = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(4000)], ["content"])
+    fp = non.select(probe(F.xxhash64("content")).alias("h")) \
+        .filter("h").count()
+    assert fp / 4000 < 0.05  # 5x margin over the 1% design point
+
+
+def test_incremental_matches_anti_join(spark):
+    corpus_rows = [(i, f"corpus text {i}") for i in range(300)] + \
+        [(900, None)]  # NULL content in the corpus
+    batch_rows = (
+        [(1000 + i, f"corpus text {i}") for i in range(0, 50)]   # dups
+        + [(2000 + i, f"novel text {i}") for i in range(80)]      # novel
+        + [(3000, "novel text 0"), (3001, "novel text 0")]        # within-
+        + [(3002, None)]                                          # NULL dup
+    )
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "content"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "content"])
+    got = {r["doc_id"]: r["is_novel"]
+           for r in incremental_exact_dedup(batch, corpus).collect()}
+    assert len(got) == len(batch_rows)  # row-preserving
+    corpus_texts = {t for _, t in corpus_rows}
+    for i, t in batch_rows:
+        assert got[i] == (t not in corpus_texts), (i, t)
+    # NULL content in the batch matches the corpus NULL (digest sentinel)
+    assert got[3002] is False
+
+
+def test_empty_corpus_all_novel(spark):
+    corpus = spark.createDataFrame([], "doc_id long, content string")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")],
+                                  ["doc_id", "content"])
+    out = incremental_exact_dedup(batch, corpus).collect()
+    assert all(r["is_novel"] for r in out) and len(out) == 2
+
+
+def test_plan_shuffles_only_hit_digests(spark):
+    # The scale contract: neither the batch nor the corpus is ever
+    # hash-partitioned. The only permitted non-broadcast exchanges are
+    # the two digest-distinct dedups, and both sit ABOVE a filter that
+    # shrinks them to bloom-hit size (post-`__hit` filter on the batch
+    # side; post-broadcast-semi-join matches on the corpus side), with
+    # a partial HashAggregate below each exchange (map-side combine).
+    corpus = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(50)], ["doc_id", "content"])
+    batch = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(50)], ["doc_id", "content"])
+    plan = incremental_exact_dedup(batch, corpus)._jdf \
+        .queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    shuffles = [i for i, ln in enumerate(lines)
+                if "Exchange" in ln and "BroadcastExchange" not in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 2, [lines[i] for i in shuffles]
+    for i in shuffles:
+        assert "__digest" in lines[i], lines[i]
+        # map-side partial combine directly beneath the exchange
+        assert "HashAggregate" in lines[i + 1], lines[i + 1]

@@ -1,0 +1,93 @@
+"""High-entropy secret detection (operators/entropy.py).
+
+Checks the JVM HOF entropy against a pure-Python reference, the flag
+threshold, the longest-first scrub order (a short flagged token that
+also occurs inside a longer flagged run must not corrupt it), and that
+the operator adds no exchanges to the plan.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.entropy import (
+    DEFAULT_PATTERN, DEFAULT_THRESHOLD, shannon_entropy_col,
+    with_entropy_secrets,
+)
+
+HIGH = "aAbB0+/=xYz9qQ2mN4rT6wE8"        # H = 4.585
+HIGH2 = "0a1B2c3D4e5F6g7H8i9J0k1L2m3N4o5P"  # H = 4.625
+LOW = "aaaabbbbaaaabbbbaaaabbbb"          # H = 1.0
+
+
+def _py_entropy(t: str) -> float:
+    cnt = Counter(t)
+    return -sum(v / len(t) * math.log2(v / len(t)) for v in cnt.values())
+
+
+def _py_scrub(text: str, threshold=DEFAULT_THRESHOLD) -> str:
+    import re
+    cands = sorted(set(re.findall(DEFAULT_PATTERN, text)))
+    flagged = [t for t in cands if _py_entropy(t) >= threshold]
+    for t in sorted(flagged, key=lambda t: (-len(t), t)):
+        text = text.replace(t, "<HIGH_ENTROPY>")
+    return text
+
+
+def test_entropy_matches_python_bit_identically(spark):
+    toks = [HIGH, HIGH2, LOW, "abcabd" * 4, "zzzz" + HIGH[:20]]
+    df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    got = {r["t"]: r["H"] for r in df.select(
+        "t", shannon_entropy_col(F.col("t")).alias("H")).collect()}
+    for t in toks:
+        assert got[t] == _py_entropy(t), t
+
+
+def test_flags_and_scrub(spark):
+    rows = [
+        (0, f"key = '{HIGH}' pad"),            # flagged
+        (1, f"xs = '{LOW}' pad"),              # candidate, not flagged
+        (2, "no candidates at all"),
+        (3, f"a {HIGH} b {HIGH2} c {LOW}"),    # two flagged of three
+    ]
+    out = {r["i"]: r for r in with_entropy_secrets(
+        spark.createDataFrame(rows, ["i", "content"])).collect()}
+    assert (out[0]["n_secret_candidates"], out[0]["n_entropy_secrets"]) \
+        == (1, 1)
+    assert "<HIGH_ENTROPY>" in out[0]["entropy_scrubbed"]
+    assert HIGH not in out[0]["entropy_scrubbed"]
+    assert (out[1]["n_secret_candidates"], out[1]["n_entropy_secrets"]) \
+        == (1, 0)
+    assert out[1]["entropy_scrubbed"] == rows[1][1]
+    assert out[2]["n_entropy_secrets"] == 0
+    assert (out[3]["n_secret_candidates"], out[3]["n_entropy_secrets"]) \
+        == (3, 2)
+    for i, (_, text) in enumerate(rows):
+        assert out[i]["entropy_scrubbed"] == _py_scrub(text), i
+
+
+def test_substring_token_scrub_order(spark):
+    # SHORT is a maximal run on its own AND a substring of LONG
+    # elsewhere; both flagged. Longest-first replacement must leave
+    # exactly two <HIGH_ENTROPY> marks, not corrupt LONG's middle.
+    short = HIGH
+    long_ = "Qx7" + HIGH + "9Zw2pLk8"
+    text = f"one {short} two {long_} end"
+    out = with_entropy_secrets(
+        spark.createDataFrame([(text,)], ["content"])).first()
+    assert out["n_entropy_secrets"] == 2
+    assert out["entropy_scrubbed"] == \
+        "one <HIGH_ENTROPY> two <HIGH_ENTROPY> end"
+    assert out["entropy_scrubbed"] == _py_scrub(text)
+
+
+def test_plan_is_pure_projection(spark):
+    df = spark.createDataFrame([(HIGH,)], ["content"])
+    plan = with_entropy_secrets(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
