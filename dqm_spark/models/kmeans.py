@@ -1,0 +1,135 @@
+"""Distributed spherical k-means (Lloyd's) for IVF centroid training.
+
+The IVF index (operators/similarity.py) ships with a deterministic
+hash-spread centroid SAMPLE — zero training cost, balanced cells, but
+cell boundaries are arbitrary. This module refines that same init with
+Lloyd iterations so cells follow the embedding geometry (higher recall
+at the same n_probe). Mirrors the reference's separation of cheap
+default vs trained refinement in its fit-based monitors
+(/root/reference/dqm/algs/Fourier.hh keeps the cheap path default).
+
+Spark shape per iteration (driver-bounded loop, one job each):
+  1. broadcast current centroids (C x dim float64);
+  2. mapInPandas: per Arrow batch, assign rows to argmax-cosine cell and
+     fold (count, vector-sum) partials per cell — each PARTITION emits
+     at most C rows, independent of its row count (map-side combine);
+  3. posexplode the partial sums and hash-aggregate (cell, dim_pos) —
+     the only shuffle, sized P x C x dim ROWS of scalars, independent
+     of corpus size;
+  4. driver folds C x dim totals into new centroids (empty cell keeps
+     its old centroid), L2-normalizes (spherical — cosine geometry),
+     stops early when max centroid drift < tol.
+
+Determinism: init is the hash-spread sample (no RNG). Across runs the
+distributed float sums can differ in final ULPs (partition fold order),
+so unlike the dedup family this operator is deterministic only up to
+floating-point reassociation; tests use well-separated data where ULPs
+cannot flip an assignment.
+
+100 TB shape: corpus is scanned T times (T <= max_iter, typically <= 10
+with early stop) with zero corpus shuffles; per-iteration driver ingress
+is the C x dim aggregate only. For C beyond broadcast limits (10^5+
+cells), shard centroids and assign per shard — out of scope here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _ivf_centroids
+
+
+def train_kmeans(df: DataFrame, vec: str = "embedding",
+                 id_col: str = "vec_id", n_cells: int = 16,
+                 max_iter: int = 10, tol: float = 1e-6) -> np.ndarray:
+    """Refined L2-normalized centroid matrix (n_cells x dim)."""
+    spark = df.sparkSession
+    cents = _ivf_centroids(df, vec, id_col, n_cells)
+    vecs = df.select(F.col(vec).alias("__v"))
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _partials(batches: Iterator[pd.DataFrame],
+                      ) -> Iterator[pd.DataFrame]:
+            cm = bc.value
+            c, d = cm.shape
+            counts = np.zeros(c, dtype=np.int64)
+            sums = np.zeros((c, d), dtype=np.float64)
+            for b in batches:
+                if not len(b):
+                    continue
+                m = np.array(b["__v"].tolist(), dtype=np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                cell = (m @ cm.T).argmax(axis=1)
+                counts += np.bincount(cell, minlength=c)
+                np.add.at(sums, cell, m)
+            hit = np.flatnonzero(counts)
+            if len(hit):
+                yield pd.DataFrame({
+                    "cell": hit.astype(np.int32),
+                    "n": counts[hit],
+                    "s": [sums[i].tolist() for i in hit],
+                })
+
+        partials = vecs.mapInPandas(
+            _partials, schema="cell int, n long, s array<double>")
+        # the only shuffle: (cell, dim_pos) scalar rows — P*C*dim at most
+        agg = (
+            partials.select("cell", "n", F.posexplode("s")
+                            .alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.when(F.col("pos") == 0, F.col("n"))
+                       .otherwise(F.lit(0))).alias("n"),
+                 F.sum("val").alias("s"))
+            .collect()
+        )
+        new = cents.copy()
+        c, d = cents.shape
+        sums = np.zeros((c, d))
+        counts = np.zeros(c, dtype=np.int64)
+        for r in agg:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] += r["n"]
+        occ = counts > 0
+        new[occ] = sums[occ] / counts[occ, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new /= norms
+        bc.unpersist()
+        drift = float(np.abs(new - cents).max())
+        cents = new
+        if drift < tol:
+            break
+    return cents
+
+
+def kmeans_inertia(df: DataFrame, centroids: np.ndarray,
+                   vec: str = "embedding") -> float:
+    """Mean spherical inertia (1 - best cosine) over the corpus — the
+    quantity Lloyd's monotonically non-increases; exposed for tests."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def _loss(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        tot, n = 0.0, 0
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.array(b["__v"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            tot += float((1.0 - (m @ cm.T).max(axis=1)).sum())
+            n += len(m)
+        if n:
+            yield pd.DataFrame({"tot": [tot], "n": [n]})
+
+    rows = df.select(F.col(vec).alias("__v")).mapInPandas(
+        _loss, schema="tot double, n long").collect()
+    total = sum(r["tot"] for r in rows)
+    count = sum(r["n"] for r in rows)
+    return total / max(count, 1)

@@ -220,7 +220,8 @@ def _ivf_cell_assignments(df: DataFrame, vec: str = "embedding",
 
 def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
              vec: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF: centroids = the n_cells vectors with the smallest
     md5(id) — a deterministic hash-spread sample (k-means-free). An
     id-ordered prefix would pick whatever cluster happens to own the low
@@ -228,9 +229,14 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
     order and embedding geometry, so cells stay balanced. Each vector is
     assigned to its nearest centroid; each query probes the n_probe
     nearest cells. The centroid pick is TakeOrderedAndProject (top-k on
-    the hash), not a full sort."""
+    the hash), not a full sort.
+
+    `centroids` accepts a pre-trained matrix (e.g. models/kmeans.py's
+    Lloyd refinement of the same hash-spread init) — same plan, better
+    cell geometry; None keeps the training-free default."""
     spark = df.sparkSession
-    cmat = _ivf_centroids(df, vec, id_col, n_cells)
+    cmat = centroids if centroids is not None \
+        else _ivf_centroids(df, vec, id_col, n_cells)
     bc = spark.sparkContext.broadcast(cmat)
 
     @pandas_udf("array<int>")
