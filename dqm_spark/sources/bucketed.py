@@ -1,0 +1,60 @@
+"""Bucketed table write/read — shuffle-free co-located joins.
+
+At 10^12-file scale the corpus is written ONCE and joined MANY times
+(decisions vs lineage, files vs repo metadata, batch vs corpus keys).
+Hash-bucketing the persisted table on the join key moves that shuffle
+from every query to the single ingest write: a scan of a bucketed
+table reports hash-partitioning on the bucket key, so joins and
+aggregations keyed on it need no Exchange — and with sortBy, no Sort
+either. This is the DataFrame-API equivalent of the reference's
+pre-grouped channel maps (/root/reference/dqm/DQMDefs.hh group
+indexing: data arrives already organized by the access key).
+
+Spark mechanics: bucketBy requires saveAsTable (the bucket metadata
+lives in the catalog, not the parquet footer); the default in-memory
+catalog + a parquet warehouse is enough — no Hive needed. Pass an
+explicit `path` to create an external table at a known location.
+
+Sort elision: since Spark 3.0 the scan hides bucket sort order unless
+spark.sql.legacy.bucketedTableScan.outputOrdering=true AND each bucket
+is a single file (write_bucketed guarantees the latter by
+repartitioning on the key before the write). Exchange elision needs
+neither — it works out of the box.
+
+Scale notes: pick n_buckets so one bucket's data fits an executor
+(corpus_bytes / n_buckets <= a few hundred MB); both sides of a
+co-located join must agree on n_buckets (or be integer multiples,
+which Spark coalesces when spark.sql.bucketing.coalesceBucketsInJoin
+is enabled). Bucket pruning applies to equality filters on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32, sort: bool = True,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist df as a parquet table bucketed (and sorted) by key.
+
+    Repartitions by the bucket key first so each bucket is written by
+    exactly one task -> one file per bucket. Without this, every write
+    task emits a file into every bucket (tasks x buckets small files),
+    and Spark refuses to trust the sortBy order across multiple files
+    per bucket, re-inserting a Sort above the scan at join time.
+    """
+    w = (df.repartition(n_buckets, key)
+           .write.format("parquet").mode(mode).bucketBy(n_buckets, key))
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — the bucket spec rides along, so downstream
+    joins/aggs on the bucket key skip their Exchange."""
+    return spark.table(table)

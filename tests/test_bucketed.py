@@ -1,0 +1,88 @@
+"""Bucketed tables (sources/bucketed.py): the join and the aggregation
+on the bucket key must run WITHOUT any Exchange — the shuffle was paid
+once at write time. Results must equal the plain (shuffling) plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    left = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"))
+    right = spark.range(0, 5000, 3).select(
+        F.col("id"), (F.col("id") * 2).alias("val"))
+    write_bucketed(left, "bk_left", "id", n_buckets=8,
+                   path=str(base / "left"))
+    write_bucketed(right, "bk_right", "id", n_buckets=8,
+                   path=str(base / "right"))
+    yield "bk_left", "bk_right"
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    # model the at-scale case: both sides of the join are far above any
+    # broadcast threshold, so the planner must pick SMJ — which the
+    # bucket layout then serves without an Exchange. (At test scale AQE
+    # would otherwise broadcast the 5k-row side and bypass bucketing.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cocolocated_join_no_exchange(spark, tables, no_broadcast):
+    ln, rn = tables
+    joined = read_bucketed(spark, ln).join(read_bucketed(spark, rn), "id")
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # correctness vs the plain shuffling join on the same data
+    expect = spark.range(0, 5000).join(
+        spark.range(0, 5000, 3), "id").count()
+    assert joined.count() == expect
+
+
+def test_bucket_key_aggregation_no_exchange(spark, tables):
+    ln, _ = tables
+    agg = read_bucketed(spark, ln).groupBy("id").agg(
+        F.sum("grp").alias("s"))
+    assert "Exchange" not in _plan(agg)
+    assert agg.count() == 5000
+
+
+def test_sorted_buckets_skip_sort(spark, tables, no_broadcast):
+    # sortBy(key) at write time + one file per bucket (write_bucketed
+    # repartitions to guarantee this): with the outputOrdering flag the
+    # SMJ reads pre-sorted buckets and no Sort node appears above
+    # either scan. Spark >=3.0 hides bucket sort order by default.
+    flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(flag)
+    spark.conf.set(flag, "true")
+    try:
+        ln, rn = tables
+        joined = read_bucketed(spark, ln).join(
+            read_bucketed(spark, rn), "id")
+        plan = _plan(joined).replace("SortMergeJoin", "SMJ")
+        assert "Sort " not in plan, plan
+    finally:
+        spark.conf.set(flag, prev)
+
+
+def test_non_bucket_key_still_shuffles(spark, tables):
+    # sanity: bucketing on id gives no free pass for other keys
+    ln, _ = tables
+    agg = read_bucketed(spark, ln).groupBy("grp").count()
+    assert "Exchange" in _plan(agg)
