@@ -1,0 +1,338 @@
+"""Model-based quality classifier — distributed logistic regression with
+bit-exact fixed-point gradient accumulation, JVM-native inference.
+
+The heuristic rules (operators/rules.py) are hand-set thresholds, the dqm
+style (/root/reference/include/dqm/Pipeline.hpp registry of fixed checks).
+Web-scale curation pipelines additionally DISTILL such labels (or human
+curation) into a trained scorer and apply the model to the full corpus.
+This module provides that stage Spark-first:
+
+  * **Training** is full-batch logistic regression over a 6-feature text
+    profile. The gradient is a sum of per-row contributions — the one
+    floating-point reduction whose result normally depends on partitioning
+    (fp addition is not associative). We make it EXACT and
+    partitioning-invariant by quantizing each row's contribution to int64
+    fixed-point (scale 2^31) inside the Arrow batch and summing integers:
+    integer addition is associative, so local[1], local[32], and a
+    1000-executor cluster produce *bit-identical* weights
+    (tests/test_quality_model.py asserts np.array_equal across
+    repartitionings and vs the single-process trainer).
+    Overflow bound: |per-row element| <= 2^31, so int64 is safe to
+    ~2^32 rows per training run — far beyond the hash-sampled training
+    subsets such classifiers use (train on ~10^6 docs, infer on 10^12).
+  * **Inference** is a pure Column expression (quality_margin_col):
+    w·x + b over six codegen'd features — zero Python crossings, zero
+    shuffles, so scoring 100 TB costs one scan. The same linear form is
+    restated verbatim by the DuckDB oracle (doc_quality_classifier).
+
+Per-iteration cost: one job over the persisted (n, 6) feature matrix —
+full-batch GD is T passes over the TRAINING SUBSET only; the corpus-wide
+pass is inference, which is single-scan.
+
+dqm analog: the reference retrains nothing online, but its channel-map
+fills are broadcast-once model state (/root/reference/src/ChannelMap.cpp);
+here the trained weight vector plays that role, embedded as literals in
+the plan rather than broadcast, since it is 7 doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# Feature order is the parity contract between the Column expressions,
+# the numpy featurizer, and the SQL oracle. Saturation constants keep
+# every feature in [0, 1] so one learning rate fits all coordinates.
+QUALITY_FEATURES = (
+    "len_sat",       # least(char_len / 4096, 1)
+    "line_sat",      # least(n_lines / 256, 1)
+    "maxline_sat",   # least(max_line_len / 1000, 1)
+    "meanline_sat",  # least(mean_line_len / 120, 1)
+    "alnum_ratio",   # [A-Za-z0-9] fraction, 0 on empty
+    "digit_ratio",   # [0-9] fraction, 0 on empty
+)
+
+_Q_SCALE = float(1 << 31)   # fixed-point scale for gradient quantization
+_DIGITS = "0123456789"
+
+
+def quality_feature_cols(content: Column) -> list[Column]:
+    """The six features as native Columns, in QUALITY_FEATURES order.
+    All integer counts + IEEE double divisions — each value is
+    bit-identical to featurize_texts() and to the DuckDB restatement."""
+    c = F.coalesce(content, F.lit(""))
+    char_len = T.char_len(c)
+    n_lines = T.n_lines(c)
+    digit_ratio = (
+        (char_len - F.length(F.translate(c, _DIGITS, ""))).cast("double")
+        / F.nullif(char_len, F.lit(0)))
+    return [
+        F.least(char_len / F.lit(4096.0), F.lit(1.0)),
+        F.least(n_lines / F.lit(256.0), F.lit(1.0)),
+        F.least(T.max_line_len(c) / F.lit(1000.0), F.lit(1.0)),
+        F.least(T.mean_line_len(c) / F.lit(120.0), F.lit(1.0)),
+        F.coalesce(T.alnum_ratio(c), F.lit(0.0)),
+        F.coalesce(digit_ratio, F.lit(0.0)),
+    ]
+
+
+_ALNUM_SET = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+_DIGIT_SET = frozenset(_DIGITS)
+
+
+def featurize_texts(texts) -> np.ndarray:
+    """(n, 6) float64, bit-identical to quality_feature_cols: same integer
+    counts, same double divisions, same saturation order."""
+    out = np.empty((len(texts), len(QUALITY_FEATURES)), dtype=np.float64)
+    for i, s in enumerate(texts):
+        s = s if isinstance(s, str) else ""
+        n = len(s)
+        lines = s.split("\n")
+        n_lines = len(lines)
+        max_line = max(len(ln) for ln in lines)
+        mean_line = float(n - (n_lines - 1)) / n_lines
+        n_alnum = sum(1 for ch in s if ch in _ALNUM_SET)
+        n_digit = sum(1 for ch in s if ch in _DIGIT_SET)
+        out[i, 0] = min(n / 4096.0, 1.0)
+        out[i, 1] = min(n_lines / 256.0, 1.0)
+        out[i, 2] = min(max_line / 1000.0, 1.0)
+        out[i, 3] = min(mean_line / 120.0, 1.0)
+        out[i, 4] = (n_alnum / float(n)) if n else 0.0
+        out[i, 5] = (n_digit / float(n)) if n else 0.0
+    return out
+
+
+def _margins(X: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """X @ w with a FIXED fold order over the 7 coordinates — each row's
+    margin is independent of batch size / BLAS kernel choice, so executor
+    batches and the single-process trainer see identical doubles."""
+    m = np.full(X.shape[0], w[-1], dtype=np.float64)
+    for j in range(X.shape[1]):
+        m += X[:, j] * w[j]
+    return m
+
+
+def _quantized_grad(X: np.ndarray, y: np.ndarray,
+                    w: np.ndarray) -> np.ndarray:
+    """(7,) int64 — sum over rows of rint(S * (sigmoid(m) - y) * [x, 1]).
+    Integer, hence associative: any partitioning sums to the same value."""
+    m = _margins(X, w)
+    p = 1.0 / (1.0 + np.exp(-m))
+    r = p - y
+    g = np.empty(len(w), dtype=np.int64)
+    for j in range(X.shape[1]):
+        g[j] = np.rint(r * X[:, j] * _Q_SCALE).astype(np.int64).sum()
+    g[-1] = np.rint(r * _Q_SCALE).astype(np.int64).sum()
+    return g
+
+
+def _gd_update(w: np.ndarray, g_int: np.ndarray, n: int,
+               lr: float, l2: float) -> np.ndarray:
+    g = g_int.astype(np.float64) / _Q_SCALE / float(n)
+    reg = l2 * w
+    reg[-1] = 0.0   # bias is not regularized
+    return w - lr * (g + reg)
+
+
+def train_quality_weights_local(texts, labels, iters: int = 60,
+                                lr: float = 2.0,
+                                l2: float = 1e-4) -> np.ndarray:
+    """(7,) float64 = [w_0..w_5, bias] — single-process reference trainer.
+    Same quantized gradient as the distributed path, so the two are
+    bit-identical on the same rows (any order)."""
+    X = featurize_texts(list(texts))
+    y = np.asarray(labels, dtype=np.float64)
+    w = np.zeros(len(QUALITY_FEATURES) + 1, dtype=np.float64)
+    for _ in range(iters):
+        w = _gd_update(w, _quantized_grad(X, y, w), len(y), lr, l2)
+    return w
+
+
+def train_quality_weights_distributed(df: DataFrame,
+                                      content_col: str = "content",
+                                      label_col: str = "label",
+                                      iters: int = 60, lr: float = 2.0,
+                                      l2: float = 1e-4) -> np.ndarray:
+    """Distributed twin of train_quality_weights_local — bit-identical
+    weights for the same rows under ANY partitioning.
+
+    Shape: featurize ONCE into a persisted (n, 6)+label matrix (the text
+    column never reaches the iteration); each GD step is one narrow job —
+    mapInPandas emits ONE int64 partial row per Arrow batch, a hash agg
+    sums them elementwise (64 longs per batch of data, no row-count
+    dependence on the driver), and only the 7-long total reaches Python.
+    """
+    from pyspark import StorageLevel
+
+    feat_cols = [c.alias(f"f{j}")
+                 for j, c in enumerate(quality_feature_cols(F.col(content_col)))]
+    feats = df.select(*feat_cols,
+                      F.col(label_col).cast("double").alias("y")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = feats.count()   # also materializes the persist
+        if n == 0:
+            raise ValueError("empty training set")
+        ncoef = len(QUALITY_FEATURES) + 1
+        fnames = [f"f{j}" for j in range(len(QUALITY_FEATURES))]
+        schema = "idx int, q long, n long"
+
+        w = np.zeros(ncoef, dtype=np.float64)
+        for _ in range(iters):
+            w_now = w.copy()
+
+            def grad_batches(batches: Iterator[pd.DataFrame],
+                             _w=w_now) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    X = pdf[fnames].to_numpy(dtype=np.float64)
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    g = _quantized_grad(X, y, _w)
+                    yield pd.DataFrame({
+                        "idx": np.arange(ncoef, dtype=np.int32),
+                        "q": g,
+                        "n": np.full(ncoef, len(y), dtype=np.int64),
+                    })
+
+            rows = (feats.mapInPandas(grad_batches, schema)
+                    .groupBy("idx")
+                    .agg(F.sum("q").alias("q"), F.sum("n").alias("n"))
+                    .collect())
+            g_int = np.zeros(ncoef, dtype=np.int64)
+            n_seen = 0
+            for r in rows:
+                g_int[r["idx"]] = r["q"]
+                n_seen = max(n_seen, r["n"])
+            if n_seen != n:
+                raise RuntimeError(
+                    f"gradient pass saw {n_seen} rows, expected {n}")
+            w = _gd_update(w, g_int, n, lr, l2)
+        return w
+    finally:
+        feats.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Shipped weights: train_quality_weights_local(*seed_corpus()) — pinned so
+# inference plans embed constants (no training at import). The exact
+# reproduction is asserted by tests/test_quality_model.py::test_shipped_
+# weights_reproducible; regenerate with `python -m dqm_spark.models.quality`.
+# ---------------------------------------------------------------------------
+
+def seed_corpus() -> tuple[list[str], list[float]]:
+    """Deterministic labeled seed (pure Python, no Spark): 320 synthetic
+    code-ish docs spanning line-length / alnum / digit regimes, labeled by
+    the default heuristic thresholds (the labels the classifier distills).
+    """
+    from ..qfconfig import DEFAULT as _CFG
+
+    def lcg(seed: int):
+        state = seed & 0x7FFFFFFF
+        while True:
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            yield state
+
+    rng = lcg(0x5EED)
+    texts: list[str] = []
+    for i in range(320):
+        n_lines = 1 + next(rng) % 40
+        base_len = 5 + next(rng) % 90
+        # every 5th doc gets a pathological minified line; every 7th is
+        # digit-heavy (data blobs); every 11th is symbol soup
+        lines = []
+        for k in range(n_lines):
+            ln = base_len + next(rng) % 30
+            if i % 5 == 0 and k == 0:
+                ln = 900 + next(rng) % 600
+            if i % 7 == 0:
+                chars = _DIGITS + ",;"
+            elif i % 11 == 0:
+                chars = "{}[]()<>!@#$%^&*+=|\\/~`"
+            else:
+                chars = ("abcdefghijklmnopqrstuvwxyz_ "
+                         "ABCDEFGHIJ0123456789 .,():=")
+            lines.append("".join(
+                chars[next(rng) % len(chars)] for _ in range(ln)))
+        texts.append("\n".join(lines))
+
+    X = featurize_texts(texts)
+    labels = []
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        max_line = max(len(ln) for ln in lines)
+        mean_line = float(len(s) - (len(lines) - 1)) / len(lines)
+        keep = (max_line <= _CFG.max_line_len
+                and mean_line <= _CFG.mean_line_len
+                and X[i, 4] >= _CFG.alnum_ratio_min)
+        labels.append(1.0 if keep else 0.0)
+    return texts, labels
+
+
+SHIPPED_QUALITY_WEIGHTS = np.array([
+    -0.6110532169521222,
+    0.17302630749316228,
+    -4.033686109194742,
+    -1.3998384321564947,
+    3.965988262234957,
+    0.953710849278458,
+    0.8379997566080415,
+], dtype=np.float64)
+
+
+def quality_margin_col(content: Column,
+                       weights: np.ndarray | None = None) -> Column:
+    """w·x + b as a single codegen'd expression (bias first, then the six
+    weighted features in QUALITY_FEATURES order — the SQL oracle restates
+    the identical fold order, so the doubles match bit-for-bit)."""
+    w = SHIPPED_QUALITY_WEIGHTS if weights is None else weights
+    feats = quality_feature_cols(content)
+    m = F.lit(float(w[-1]))
+    for wj, fcol in zip(w[:-1], feats):
+        m = m + F.lit(float(wj)) * fcol
+    return m
+
+
+def quality_margin_sql(text_expr: str,
+                       weights: np.ndarray | None = None) -> str:
+    """The DuckDB restatement of quality_margin_col over `text_expr`
+    (an SQL expression for the content string): same features, same
+    literal weights (repr = shortest round-trip decimal), same fold order.
+    """
+    w = SHIPPED_QUALITY_WEIGHTS if weights is None else weights
+    t = f"coalesce({text_expr}, '')"
+    char_len = f"length({t})"
+    n_lines = f"len(string_split({t}, chr(10)))"
+    max_line = (f"list_max(list_transform(string_split({t}, chr(10)), "
+                f"x -> length(x)))")
+    mean_line = f"(CAST({char_len} - ({n_lines} - 1) AS DOUBLE) / {n_lines})"
+    alnum = (f"coalesce(CAST(length(regexp_replace({t}, '[^A-Za-z0-9]', "
+             f"'', 'g')) AS DOUBLE) / nullif({char_len}, 0), 0.0)")
+    digit = (f"coalesce(CAST(length(regexp_replace({t}, '[^0-9]', "
+             f"'', 'g')) AS DOUBLE) / nullif({char_len}, 0), 0.0)")
+    feats = [
+        f"least({char_len} / 4096.0, 1.0)",
+        f"least({n_lines} / 256.0, 1.0)",
+        f"least({max_line} / 1000.0, 1.0)",
+        f"least({mean_line} / 120.0, 1.0)",
+        alnum,
+        digit,
+    ]
+    expr = repr(float(w[-1]))
+    for wj, fx in zip(w[:-1], feats):
+        expr = f"({expr} + {repr(float(wj))} * {fx})"
+    return expr
+
+
+if __name__ == "__main__":
+    texts, labels = seed_corpus()
+    w = train_quality_weights_local(texts, labels)
+    print("SHIPPED_QUALITY_WEIGHTS = np.array([")
+    for v in w:
+        print(f"    {v!r},")
+    print("], dtype=np.float64)")

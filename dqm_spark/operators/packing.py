@@ -97,6 +97,45 @@ def pack_sequences(df: DataFrame, token_col: str, order_col: str,
     )
 
 
+def with_global_index(df: DataFrame, order_col: str,
+                      out: str = "idx",
+                      num_partitions: int | None = None) -> DataFrame:
+    """0-based global row index over the total order `order_col` (must be
+    unique) — prefix sum of ones through the same two-phase scan, so no
+    single-partition window and no monotonically_increasing_id gaps."""
+    one = "__one"
+    ranked = with_prefix_sum(df.withColumn(one, F.lit(1)), one, order_col,
+                             out=out, num_partitions=num_partitions)
+    return ranked.withColumn(out, (F.col(out) - 1).cast("long")).drop(one)
+
+
+def train_order(df: DataFrame, id_col: str = "doc_id",
+                shard_size: int = 65536, salt: str = "shuf-",
+                num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global training order + shard assignment.
+
+    Training runs want the corpus in a reproducible pseudo-random order,
+    cut into fixed-size shards. Sorting by md5(salt || id) is that
+    order (seedable via `salt`, stable across reruns and cluster sizes);
+    the contiguous index comes from the distributed two-phase scan, so
+    the plan is a parallel range sort + one broadcast join — the naive
+    row_number() over a global ORDER BY would funnel 10^12 rows through
+    one task. Adds:
+
+      shuffle_key  md5 hex used as the order key (kept for audit)
+      train_idx    0-based position in the shuffled order
+      shard        floor(train_idx / shard_size)
+    """
+    keyed = df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
+    idx = with_global_index(keyed, "shuffle_key", out="train_idx",
+                            num_partitions=num_partitions)
+    return idx.withColumn(
+        "shard", F.floor(F.col("train_idx") / F.lit(shard_size))
+        .cast("long"))
+
+
 def chunk_documents(df: DataFrame, content: str = "content",
                     id_col: str = "doc_id", size: int = 2048,
                     stride: int | None = None) -> DataFrame:

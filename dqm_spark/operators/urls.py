@@ -1,0 +1,63 @@
+"""URL/domain census + domain blocklist filtering — JVM-only.
+
+Web-corpus curation blocks documents by the domains they link to or came
+from (spam/adult/malware lists). Both primitives here stay inside
+whole-stage codegen: extraction is regexp_extract_all, the census is two
+partial-aggregating hash aggregations (no hot-domain skew: a domain
+appearing in 10^9 docs partial-aggregates map-side), and the blocklist
+test is arrays_overlap against a literal array (blocklists are 10^4-10^6
+entries — plan-embedded or broadcast, never a shuffle).
+
+dqm analog: the reference's fragment-type allow/deny dispatch
+(/root/reference/include/dqm/Decoder.hpp:45-49) — a fixed small set
+deciding which records an algorithm accepts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# capture group 1 = the host; Java-regex / RE2 / Python-re common subset
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def domains_col(content: Column) -> Column:
+    """array<string> of all linked domains in the text (with repeats)."""
+    return F.regexp_extract_all(content, F.lit(URL_DOMAIN_PATTERN), F.lit(1))
+
+
+def domain_census(df: DataFrame, content: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(domain, n_docs, n_hits) — corpus-wide link census.
+
+    Shape: explode → groupBy(id, domain) partial-count → groupBy(domain).
+    Both aggs combine map-side, so boilerplate domains (github.com in
+    every README) never concentrate raw rows in one task."""
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(domains_col(F.col(content))).alias("domain"))
+        .groupBy("__id", "domain")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hits").cast("long").alias("n_hits"),
+    )
+
+
+def blocked_domain_col(content: Column,
+                       blocklist: Iterable[str]) -> Column:
+    """True when the text links to any blocklisted domain. Pure Column —
+    composes with the rule registry as another drop label."""
+    blocked = F.lit(sorted(set(blocklist)))
+    return F.arrays_overlap(
+        F.array_distinct(domains_col(content)), blocked)
+
+
+def blocklist_filter(df: DataFrame, blocklist: Iterable[str],
+                     content: str = "content") -> DataFrame:
+    """Rows whose text links to NO blocklisted domain (zero-shuffle)."""
+    return df.where(~blocked_domain_col(F.col(content), blocklist))

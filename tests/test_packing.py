@@ -92,3 +92,31 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, "text", "doc_id", size=0)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", size=4, stride=0)
+
+
+def test_global_index_is_dense_rank(spark):
+    from dqm_spark.operators.packing import with_global_index
+    import random
+    rng = random.Random(11)
+    keys = rng.sample(range(100_000), 700)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = with_global_index(df, "k", num_partitions=5) \
+        .orderBy("k").toPandas()
+    assert got["idx"].tolist() == list(range(700))
+    assert got["k"].tolist() == sorted(keys)
+
+
+def test_train_order_deterministic_and_contiguous(spark):
+    from dqm_spark.operators.packing import train_order
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = train_order(df, shard_size=64).orderBy("train_idx").toPandas()
+    b = train_order(df.repartition(7), shard_size=64) \
+        .orderBy("train_idx").toPandas()
+    # same order regardless of input partitioning; indices contiguous
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["train_idx"].tolist() == list(range(400))
+    assert (a["shard"] == a["train_idx"] // 64).all()
+    # different salt = different permutation (seedability)
+    c = train_order(df, shard_size=64, salt="other-") \
+        .orderBy("train_idx").toPandas()
+    assert c["doc_id"].tolist() != a["doc_id"].tolist()

@@ -1,0 +1,101 @@
+"""Distributed quality-classifier training: bit-exact parity + invariance.
+
+The claim under test (models/quality.py): because per-row gradient
+contributions are quantized to int64 before summation, the distributed
+trainer is BIT-IDENTICAL to the single-process trainer and invariant to
+partitioning — the property a 1000-executor retrain needs to be auditable
+against a laptop run. Mirrors the reference's trainer-parity discipline
+(langid/perplexity distributed == single-process, tests/test_model_training.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dqm_spark.models.quality import (
+    SHIPPED_QUALITY_WEIGHTS,
+    _margins,
+    featurize_texts,
+    quality_feature_cols,
+    quality_margin_col,
+    seed_corpus,
+    train_quality_weights_distributed,
+    train_quality_weights_local,
+)
+
+
+@pytest.fixture(scope="module")
+def seed():
+    texts, labels = seed_corpus()
+    return texts, labels
+
+
+@pytest.fixture(scope="module")
+def seed_df(spark, seed):
+    texts, labels = seed
+    return spark.createDataFrame(
+        [(t, y) for t, y in zip(texts, labels)], "content string, label double")
+
+
+def test_shipped_weights_reproducible(seed):
+    """The committed literals ARE train_local(seed_corpus()) with default
+    hyperparameters — exact equality, no tolerance."""
+    w = train_quality_weights_local(*seed)
+    assert np.array_equal(w, SHIPPED_QUALITY_WEIGHTS)
+
+
+def test_distributed_matches_local_bitwise(spark, seed, seed_df):
+    w_local = train_quality_weights_local(*seed, iters=12)
+    w_dist = train_quality_weights_distributed(seed_df, iters=12)
+    assert np.array_equal(w_local, w_dist)
+
+
+def test_partitioning_invariance(spark, seed_df):
+    """int64 gradient accumulation is associative: any layout, same bits."""
+    w1 = train_quality_weights_distributed(seed_df.repartition(1), iters=8)
+    w13 = train_quality_weights_distributed(seed_df.repartition(13), iters=8)
+    assert np.array_equal(w1, w13)
+
+
+def test_spark_features_match_numpy(spark, seed, seed_df):
+    """quality_feature_cols (JVM codegen) == featurize_texts (numpy),
+    bit-for-bit: integer counts + IEEE double divisions on both sides.
+    Includes edge rows (empty, null, no-newline, all-digit)."""
+    texts = list(seed[0][:40]) + ["", "x", "123456", "a\nb\nc", "\n\n"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string") \
+        .unionByName(spark.createDataFrame([(None,)], "content string"))
+    from pyspark.sql import functions as F
+    cols = [c.alias(f"f{j}") for j, c in
+            enumerate(quality_feature_cols(F.col("content")))]
+    got = np.array([
+        [r[f"f{j}"] for j in range(6)]
+        for r in df.select(*cols).collect()
+    ])
+    want = featurize_texts(texts + [None])
+    assert np.array_equal(got, want)
+
+
+def test_margin_col_matches_numpy(spark, seed):
+    texts = seed[0][:50]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    from pyspark.sql import functions as F
+    got = np.array([r["m"] for r in df.select(
+        quality_margin_col(F.col("content")).alias("m")).collect()])
+    want = _margins(featurize_texts(texts), SHIPPED_QUALITY_WEIGHTS)
+    assert np.array_equal(got, want)
+
+
+def test_classifier_learns_the_labels(seed):
+    """Distillation sanity: >= 0.9 training accuracy against the heuristic
+    labels (the 6 linear features cannot be perfect; ~0.96 measured)."""
+    texts, labels = seed
+    m = _margins(featurize_texts(texts), SHIPPED_QUALITY_WEIGHTS)
+    acc = float((((m > 0)).astype(float) == np.asarray(labels)).mean())
+    assert acc >= 0.9
+
+
+def test_empty_training_set_raises(spark):
+    df = spark.createDataFrame([], "content string, label double")
+    with pytest.raises(ValueError):
+        train_quality_weights_distributed(df, iters=1)

@@ -1,0 +1,54 @@
+"""URL/domain census + blocklist filter (operators/urls.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.urls import (
+    blocklist_filter,
+    domain_census,
+    domains_col,
+)
+
+_DOCS = [
+    (1, "see https://a.example/x and http://b.org/y plus https://a.example/z"),
+    (2, "no links at all"),
+    (3, "dup host https://b.org/1 https://b.org/2"),
+    (4, "mixed https://c.net/q text http://a.example/deep/path"),
+    (5, ""),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, content string")
+
+
+def test_domains_col_extracts_hosts(spark):
+    rows = _df(spark).select(
+        "doc_id", domains_col(F.col("content")).alias("d")) \
+        .orderBy("doc_id").collect()
+    assert rows[0]["d"] == ["a.example", "b.org", "a.example"]
+    assert rows[1]["d"] == []
+    assert rows[4]["d"] == []
+
+
+def test_domain_census_counts(spark):
+    got = {r["domain"]: (r["n_docs"], r["n_hits"])
+           for r in domain_census(_df(spark)).collect()}
+    assert got == {
+        "a.example": (2, 3),   # doc 1 twice, doc 4 once
+        "b.org": (2, 3),       # doc 1 once, doc 3 twice
+        "c.net": (1, 1),
+    }
+
+
+def test_blocklist_filter_drops_linking_docs(spark):
+    kept = sorted(r["doc_id"] for r in
+                  blocklist_filter(_df(spark), ["a.example"]).collect())
+    assert kept == [2, 3, 5]   # docs 1 and 4 link to a.example
+
+
+def test_blocklist_filter_is_jvm_only(spark):
+    plan = blocklist_filter(_df(spark), ["a.example"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
