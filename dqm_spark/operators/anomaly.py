@@ -1,0 +1,63 @@
+"""Rolling z-score anomaly detection over bucketed metric series.
+
+The reference alerts on FIXED thresholds (fire-rate > constant,
+/root/reference/include/dqm/Issues.hpp:19-59 via operators/alerts.py);
+its mean/RMS/Fourier monitors exist precisely so shifters can spot a
+channel drifting from its own recent behavior. This operator closes that
+loop adaptively: per series (event_type, rule, channel, ...), compare
+each time bucket's statistic against the mean/std of its own TRAILING
+window and flag |z| breaches — threshold alerts that calibrate
+themselves per series.
+
+Scale shape: the window is partitioned by the series key and row-bounded
+(ROWS BETWEEN k PRECEDING AND 1 PRECEDING) — state per task is O(k), one
+shuffle on the series key. Series count (types × rules × channels) is
+the parallelism; a single series of 10^6 buckets is one task scanning
+sequentially with a k-deep ring buffer, which is the required semantics
+(a trailing baseline is inherently sequential per series) and costs
+O(buckets) — never O(buckets · k) and never a corpus-wide sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(df: DataFrame, series_cols: Sequence[str],
+                   bucket_col: str, value_col: str,
+                   trailing: int = 8, min_trailing: int = 3,
+                   z_threshold: float = 2.0) -> DataFrame:
+    """Adds trailing-baseline columns per (series, bucket) row:
+
+      trail_n     buckets in the trailing frame (EXCLUDES current)
+      trail_mean  mean of value over the frame (null if empty)
+      zscore      round(|value - trail_mean| / trail_std, 3); null when
+                  trail_n < min_trailing or trail_std == 0
+      is_anomaly  zscore > z_threshold (false when zscore is null)
+
+    The z-score is rounded BEFORE the threshold compare so the decision
+    is reproducible across engines/runs (the DuckDB oracle restates the
+    identical rounded compare). min_trailing >= 2 is required for a
+    sample std; >= 3 recommended so one early outlier cannot freeze the
+    baseline."""
+    if min_trailing < 2:
+        raise ValueError("min_trailing must be >= 2 (sample std needs 2)")
+    w = (Window.partitionBy(*series_cols).orderBy(bucket_col)
+         .rowsBetween(-trailing, -1))
+    v = F.col(value_col)
+    trail_n = F.count(v).over(w)
+    trail_mean = F.avg(v).over(w)
+    trail_std = F.stddev_samp(v).over(w)
+    z = F.when(
+        (trail_n >= min_trailing) & trail_std.isNotNull()
+        & (trail_std != 0),
+        F.round(F.abs(v - trail_mean) / trail_std, 3))
+    return df.withColumns({
+        "trail_n": trail_n.cast("long"),
+        "trail_mean": trail_mean,
+        "zscore": z,
+        "is_anomaly": F.coalesce(z > F.lit(z_threshold), F.lit(False)),
+    })

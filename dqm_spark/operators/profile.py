@@ -1,0 +1,56 @@
+"""One-pass table profiler — per-column census as a long-format result.
+
+The reference publishes per-algorithm run/time counters so operators can
+see what the system is chewing on (opmon Info record,
+/root/reference/include/dqm/DQMFormats.hpp:28-43). A data pipeline's
+equivalent ground truth is a column census: row/null/distinct counts and
+min/max per column — the first thing run against a new 100 TB drop.
+
+Scale shape: ONE aggregation job. All per-column aggregates go into a
+single df.agg(...) so the input is scanned once; exact count(DISTINCT)
+over several columns makes Catalyst plan an Expand (one duplicated
+stream per distinct column) — acceptable for a profile run. At corpus
+scale pass approx=True: approx_count_distinct is a mergeable HLL sketch,
+collapsing the plan back to one partial+final hash agg with no Expand.
+The k-row result is restructured driver-side (k = #columns, not data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
+                  approx: bool = False) -> DataFrame:
+    """(column, n_rows, n_nonnull, n_distinct, min_val, max_val) — one
+    row per profiled column; min/max are cast to string so mixed types
+    share a schema. Column order of the output follows `columns`."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    if not cols:
+        raise ValueError("no columns to profile")
+    ndv = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            ndv(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [F.lit(c), F.col(f"__nn_{c}"), F.col(f"__nd_{c}"),
+                       F.col(f"__mn_{c}"), F.col(f"__mx_{c}")]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(F.lit(len(cols)), *stack_args)
+        .alias("column", "n_nonnull", "n_distinct", "min_val", "max_val"),
+    ).select("column", "n_rows", "n_nonnull", "n_distinct",
+             "min_val", "max_val")

@@ -1,0 +1,84 @@
+"""Rolling z-score anomaly detector + one-pass table profiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.anomaly import rolling_zscore
+from dqm_spark.operators.profile import profile_table
+
+
+def _series(spark):
+    # flat series with one planted spike at bucket 10, plus a second
+    # series too short to ever have a baseline
+    rows = [("a", b, 10.0 + (b % 2) * 0.5) for b in range(12)]
+    rows[10] = ("a", 10, 300.0)
+    rows += [("b", 0, 1.0), ("b", 1, 2.0)]
+    return spark.createDataFrame(
+        rows, "series string, bucket long, v double")
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    out = rolling_zscore(_series(spark), ["series"], "bucket", "v",
+                         trailing=8, min_trailing=3, z_threshold=2.0)
+    rows = {(r["series"], r["bucket"]): r for r in out.collect()}
+    assert rows[("a", 10)]["is_anomaly"]
+    flagged = [k for k, r in rows.items() if r["is_anomaly"]]
+    # bucket 11 is also anomalous by construction (spike enters its
+    # trailing window, inflating std; value 10.5 sits within z<=2) —
+    # verify only the spike itself plus nothing from the flat prefix
+    assert ("a", 10) in flagged
+    assert all(b >= 10 for (_, b) in flagged)
+
+
+def test_rolling_zscore_needs_min_trailing(spark):
+    out = rolling_zscore(_series(spark), ["series"], "bucket", "v",
+                         trailing=8, min_trailing=3).collect()
+    for r in out:
+        if r["trail_n"] < 3:
+            assert r["zscore"] is None and not r["is_anomaly"]
+    # series b never reaches 3 trailing buckets
+    assert all(not r["is_anomaly"] for r in out if r["series"] == "b")
+
+
+def test_rolling_zscore_constant_series_no_div_zero(spark):
+    df = spark.createDataFrame(
+        [("c", b, 5.0) for b in range(8)], "series string, bucket long, v double")
+    out = rolling_zscore(df, ["series"], "bucket", "v").collect()
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_rolling_zscore_rejects_bad_min_trailing(spark):
+    with pytest.raises(ValueError):
+        rolling_zscore(_series(spark), ["series"], "bucket", "v",
+                       min_trailing=1)
+
+
+def _tbl(spark):
+    return spark.createDataFrame(
+        [(1, "x", None), (2, "x", 5.0), (2, None, 7.5)],
+        "id long, s string, d double")
+
+
+def test_profile_table_counts(spark):
+    got = {r["column"]: r for r in profile_table(_tbl(spark)).collect()}
+    assert set(got) == {"id", "s", "d"}
+    assert all(r["n_rows"] == 3 for r in got.values())
+    assert (got["id"]["n_nonnull"], got["id"]["n_distinct"]) == (3, 2)
+    assert (got["s"]["n_nonnull"], got["s"]["n_distinct"]) == (2, 1)
+    assert (got["d"]["min_val"], got["d"]["max_val"]) == ("5.0", "7.5")
+
+
+def test_profile_table_approx_and_order(spark):
+    got = profile_table(_tbl(spark), ["s", "id"], approx=True).collect()
+    assert [r["column"] for r in got] == ["s", "id"]
+    # HLL is exact at this cardinality
+    assert {r["column"]: r["n_distinct"] for r in got} == {"s": 1, "id": 2}
+
+
+def test_profile_table_rejects_unknown_column(spark):
+    with pytest.raises(ValueError):
+        profile_table(_tbl(spark), ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(_tbl(spark), [])
