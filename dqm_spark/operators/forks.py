@@ -1,0 +1,83 @@
+"""Repo-level fork detection — file-set Jaccard over content fingerprints.
+
+Code corpora are crawled per repository, and forks dominate: most of a
+fork's files are byte-identical to its upstream. File-level exact dedup
+removes the copies but keeps one gravity well per popular repo; corpus
+curation additionally wants the REPO PAIRS (keep one of each fork family,
+or down-weight). This operator computes, for every repo pair sharing at
+least one identical file, the Jaccard similarity of their distinct
+file-fingerprint sets, and flags pairs above a threshold.
+
+Scale shape (10^8 repos / 10^12 files):
+  * fingerprints collapse to (repo, fp) DISTINCT first — per-repo
+    duplicate files never inflate the index;
+  * the inverted index (fp → repos) is capped at `max_df` repos per
+    fingerprint: a boilerplate file present in 10^6 repos (empty
+    __init__.py, MIT LICENSE) would otherwise enumerate 10^12 pairs.
+    Dropping it loses nothing — sharing boilerplate is not fork
+    evidence — and bounds per-fingerprint fanout to max_df², the same
+    posture as winnow.py's max_df cap. The cap is enforced with a
+    two-stage count + semi-join (partial-agg safe), not a window;
+  * pair counting is one hash aggregation on (repo_a, repo_b) — forks
+    share many fingerprints, so partial aggregation collapses the pair
+    stream map-side;
+  * repo sizes join back by key (shuffle joins; repo cardinality is
+    corpus-sized, not broadcastable — AQE picks the strategy).
+
+dqm analog: plane-level grouping before per-plane stats
+(/root/reference/src/ChannelMap.cpp) — collapse to the coarser unit
+(repo), then compare units, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repo_fork_pairs(df: DataFrame, repo_col: str = "repo",
+                    content: str = "content",
+                    threshold: float = 0.5,
+                    max_df: int = 1000) -> DataFrame:
+    """(repo_a, repo_b, shared, n_a, n_b, jaccard) for every unordered
+    repo pair with file-set Jaccard >= threshold (repo_a < repo_b).
+    jaccard = |A ∩ B| / |A ∪ B| over DISTINCT file-content fingerprints;
+    fingerprints present in more than `max_df` repos are excluded from
+    BOTH the intersection and the union (boilerplate is not fork
+    evidence, and excluding it from one side only would bias the ratio).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    fp = (
+        df.select(F.col(repo_col).alias("repo"),
+                  F.xxhash64(F.col(content)).alias("fp"))
+        .distinct()
+    )
+    # boilerplate cap: fingerprints carried by too many repos are dropped
+    rare = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_df)
+            .select("fp"))
+    fp = fp.join(rare, "fp")
+
+    sizes = fp.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    a = fp.select(F.col("fp"), F.col("repo").alias("repo_a"))
+    b = fp.select(F.col("fp"), F.col("repo").alias("repo_b"))
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared
+        .join(sizes.withColumnsRenamed(
+            {"repo": "repo_a", "n_files": "n_a"}), "repo_a")
+        .join(sizes.withColumnsRenamed(
+            {"repo": "repo_b", "n_files": "n_b"}), "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("repo_a", "repo_b", "shared", "n_a", "n_b", "jaccard")
+    )

@@ -1,0 +1,68 @@
+"""Repo fork detection via file-set Jaccard (operators/forks.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dqm_spark.operators.forks import repo_fork_pairs
+
+
+def _corpus(spark):
+    rows = []
+    # upstream: 10 files
+    for i in range(10):
+        rows.append(("up", f"file body {i}"))
+    # fork: 8 identical + 2 patched  -> shared 8, union 12, J = 0.6667
+    for i in range(8):
+        rows.append(("fork", f"file body {i}"))
+    rows += [("fork", "file body 8 patched"), ("fork", "file body 9 patched")]
+    # unrelated repo sharing nothing
+    rows += [("other", f"other {i}") for i in range(5)]
+    # within-repo duplicate files must not inflate fingerprint sets
+    rows.append(("up", "file body 0"))
+    return spark.createDataFrame(rows, "repo string, content string")
+
+
+def test_fork_pair_jaccard(spark):
+    got = repo_fork_pairs(_corpus(spark), threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["repo_a"], r["repo_b"]) == ("fork", "up")
+    assert (r["shared"], r["n_a"], r["n_b"]) == (8, 10, 10)
+    assert r["jaccard"] == pytest.approx(8 / 12, abs=1e-4)
+
+
+def test_threshold_excludes_weak_pairs(spark):
+    rows = [("a", f"x{i}") for i in range(10)] + \
+        [("b", "x0"), ("b", "y1"), ("b", "y2"), ("b", "y3")]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    # shared 1, union 13 -> J ~= 0.077
+    assert repo_fork_pairs(df, threshold=0.5).count() == 0
+    assert repo_fork_pairs(df, threshold=0.05).count() == 1
+
+
+def test_boilerplate_cap_drops_hot_fingerprints(spark):
+    # "LICENSE" appears in every repo; with max_df=2 it must be excluded
+    # from both intersection and union, leaving a/b as true forks and
+    # c unrelated
+    rows = []
+    for repo in ("a", "b", "c"):
+        rows.append((repo, "LICENSE TEXT"))
+    rows += [("a", "core 1"), ("a", "core 2"),
+             ("b", "core 1"), ("b", "core 2"),
+             ("c", "unrelated")]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = repo_fork_pairs(df, threshold=0.9, max_df=2).collect()
+    assert [(r["repo_a"], r["repo_b"], r["jaccard"])
+            for r in got] == [("a", "b", 1.0)]
+    # without the cap, LICENSE links c to both a and b
+    uncapped = repo_fork_pairs(df, threshold=0.2, max_df=100).count()
+    assert uncapped == 3
+
+
+def test_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([("a", "x")], "repo string, content string")
+    with pytest.raises(ValueError):
+        repo_fork_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        repo_fork_pairs(df, threshold=1.5)
