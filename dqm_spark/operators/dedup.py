@@ -256,24 +256,30 @@ def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
        record per input partition, and only (digest, bands, id) tuples
        ever shuffle — never content bytes;
     2. explode only the distinct-content reps into (band_idx, band_hash)
-       buckets, take the bucket-min rep id per bucket (window over the
-       collapsed set — no row swarm can reach it), then min over each
-       rep's buckets;
+       buckets, elect the bucket-min rep id with a partial-agg-safe
+       ``groupBy(band).agg(min(rep_id))``, join it back to the exploded
+       buckets (AQE skew-split covers a hot bucket on the probe side),
+       then min over each rep's buckets. A window over the bucket key
+       would buffer every bucket member in one task — byte-identical
+       swarms collapse in step 1, but a bucket of DISTINCT mutually-
+       near-identical contents (web boilerplate with varying headers)
+       can still hold millions of reps, and the hash agg collapses it
+       map-side where the window cannot;
     3. join the per-digest canonical back to the rows on the digest
        (_digest_join_back — UDF-free probe side).
 
     canonical(row) = min id over rows sharing ≥1 band bucket — identical
     semantics to electing directly from rows, since min id among rows
     with content c IS rep(c). No candidate pairs are ever enumerated."""
-    from pyspark.sql import Window
     reps = _collapse_reps(df, content, id_col, bands_col)
     exploded = reps.select(
         "__digest", "rep_id",
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
     )
-    w = Window.partitionBy("band_idx", "band_hash")
+    bucket_min = exploded.groupBy("band_idx", "band_hash").agg(
+        F.min("rep_id").alias("bucket_min"))
     canon = (
-        exploded.withColumn("bucket_min", F.min("rep_id").over(w))
+        exploded.join(bucket_min, ["band_idx", "band_hash"])
         .groupBy("__digest")
         .agg(F.min("bucket_min").alias("canonical_id"))
     )

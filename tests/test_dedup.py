@@ -292,10 +292,14 @@ def test_asof_join_null_value_and_same_row_semantics(spark):
 def test_exact_dedup_plans_have_no_window(spark, docs):
     """VERDICT r2 #4: canonical election must be a two-stage hash agg
     (map-side partial combine), never a window over md5(content) — a
-    window funnels every copy of a hot boilerplate file into one task."""
+    window funnels every copy of a hot boilerplate file into one task.
+    Same contract for minhash's LSH tail: a window over (band_idx,
+    band_hash) would buffer a hot bucket of DISTINCT near-identical
+    contents in one task, where the hash agg collapses it map-side."""
     from dqm_spark.plans import plan_string
     for out in (exact_dedup(docs, "text", "doc_id"),
-                exact_duplicates(docs, "text", "doc_id")):
+                exact_duplicates(docs, "text", "doc_id"),
+                minhash_dedup(docs, "text", "doc_id")):
         s = plan_string(out)
         assert "Window" not in s
         assert "HashAggregate" in s
