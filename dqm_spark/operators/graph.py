@@ -75,12 +75,54 @@ _CC_POOL = CachePool()
 clear_cc_cache = _CC_POOL.clear
 
 
+def _driver_union_find(pairs) -> dict[int, int]:
+    """Union-find with path halving over an in-memory edge list;
+    returns node -> min-id-of-component for every node touched."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]   # path halving
+            r = parent[r]
+        # second walk compresses x's own chain
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in list(parent)}
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_finish_max_edges: int = 1_000_000
+                         ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component
     = the minimum node id in its connected component. Undirected: each
     input pair counts both ways; self-loops are ignored.
+
+    Adaptive execution, same posture as Spark's own broadcast-join
+    threshold: the DISTINCT verified edge list is usually minuscule
+    relative to the corpus that produced it (at sf0.01, 500 docs yield
+    25 verified near-dup edges), while one large-star/small-star round
+    costs ~4 shuffle jobs plus an eager localCheckpoint — tens of
+    seconds of fixed overhead to contract a graph that fits in one
+    task. So when the exact edge count is ≤ `driver_finish_max_edges`
+    (default 10⁶ ≈ 16 MB of long pairs), the component map is resolved
+    by a driver-side union-find on the collected pairs and shipped
+    back as a DataFrame — a BOUNDED collect, size-gated by an exact
+    count beforehand. Above the gate (web-scale dup graphs can be
+    O(corpus)), the iterative contraction below runs unchanged; pass
+    ``driver_finish_max_edges=0`` to force it.
 
     The iteration state is only the shrinking edge list; convergence is
     detected when the small-star edge set's (count, sum-of-row-hashes)
@@ -110,6 +152,18 @@ def connected_components(edges: DataFrame, src: str = "src",
         .where(F.col("src") != F.col("dst"))
         .distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n_edges = e0.count()   # exact gate; also materializes the persist
+    if n_edges <= driver_finish_max_edges:
+        spark = e0.sparkSession
+        pdf = e0.toPandas()   # bounded: ≤ driver_finish_max_edges rows
+        comp = _driver_union_find(
+            zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+        e0.unpersist()
+        _CC_POOL.clear()
+        return spark.createDataFrame(
+            [(int(n), int(c)) for n, c in comp.items()],
+            schema="node long, component long")
 
     def checksum(df: DataFrame):
         row = df.agg(

@@ -1,5 +1,12 @@
-"""Connected components (large-star/small-star) vs a pure-Python
-union-find reference."""
+"""Connected components (large-star/small-star + size-gated driver
+union-find) vs a pure-Python union-find reference.
+
+Every test runs BOTH execution paths: the default size-gated driver
+finish (all these graphs are far under the 10⁶-edge gate) and the
+iterative contraction forced via ``driver_finish_max_edges=0`` — the
+two must agree exactly, which is the parity contract that lets the
+adaptive gate exist at all.
+"""
 
 from __future__ import annotations
 
@@ -9,6 +16,11 @@ import pandas as pd
 import pytest
 
 from dqm_spark.operators.graph import connected_components
+
+# gate values: 1_000_000 -> driver union-find path; 0 -> force the
+# distributed large-star/small-star iteration
+BOTH_PATHS = pytest.mark.parametrize(
+    "gate", [1_000_000, 0], ids=["driver", "iterative"])
 
 
 def _uf_components(edges):
@@ -31,17 +43,20 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-def test_multi_hop_chain(spark):
+@BOTH_PATHS
+def test_multi_hop_chain(spark, gate):
     """A~B~C with no A~C edge: single-step canonicals cannot see this;
     CC must put all three in one component (the dedup-cluster case)."""
     e = spark.createDataFrame(
         pd.DataFrame({"src": [10, 20, 50], "dst": [20, 30, 60]}))
     out = {r.node: r.component
-           for r in connected_components(e).collect()}
+           for r in connected_components(
+               e, driver_finish_max_edges=gate).collect()}
     assert out == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
 
 
-def test_random_graph_matches_union_find(spark):
+@BOTH_PATHS
+def test_random_graph_matches_union_find(spark, gate):
     rng = random.Random(7)
     nodes = list(range(0, 300))
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
@@ -49,14 +64,24 @@ def test_random_graph_matches_union_find(spark):
     want = _uf_components(edges)
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     got = {r.node: r.component
-           for r in connected_components(e).collect()}
+           for r in connected_components(
+               e, driver_finish_max_edges=gate).collect()}
     assert got == want
 
 
 def test_long_path_converges_fast(spark):
     """A 200-node path graph: min-label propagation needs 200 rounds;
-    star contraction must finish within the 25-iteration budget."""
+    star contraction must finish within the 25-iteration budget.
+    Iterative path only — convergence depth is what's under test."""
     e = spark.createDataFrame(pd.DataFrame(
         {"src": range(199), "dst": range(1, 200)}))
-    out = connected_components(e).collect()
+    out = connected_components(e, driver_finish_max_edges=0).collect()
     assert all(r.component == 0 for r in out) and len(out) == 200
+
+
+def test_empty_edges_both_paths(spark):
+    e = spark.createDataFrame(pd.DataFrame({"src": [], "dst": []}),
+                              schema="src long, dst long")
+    for gate in (1_000_000, 0):
+        assert connected_components(
+            e, driver_finish_max_edges=gate).count() == 0
