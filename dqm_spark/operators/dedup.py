@@ -27,6 +27,7 @@ splitmix-style finalizer) — no RNG, no PYTHONHASHSEED dependence.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -225,6 +226,41 @@ def with_minhash_bands(df: DataFrame, content: str,
             yield pd.Series(list(mixed.astype(np.int64)))
 
     return df.withColumn("bands", bands_udf(F.col(content)))
+
+
+def with_minhash_sig(df: DataFrame, content: str,
+                     n_perm: int = _MH_PERMS) -> DataFrame:
+    """Adds `sig: array<long>` — the FULL n_perm-value minhash signature
+    (int64 bit-patterns of the uint64 minima). Used by consumers that
+    need per-pair Jaccard ESTIMATES (near_dup_clusters' two-tier
+    verify); `with_minhash_bands` stays the lean 8-long column for
+    consumers that only bucket."""
+
+    @pandas_udf("array<long>")
+    def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            sig = minhash_signatures(texts.tolist(), n_perm)
+            yield pd.Series(list(sig.astype(np.int64)))
+
+    return df.withColumn("sig", sig_udf(F.col(content)))
+
+
+def _bands_from_sig(sig_col, n_perm: int = _MH_PERMS,
+                    n_bands: int = _MH_BANDS):
+    """array<long> band hashes derived JVM-side from the signature:
+    band b = xxhash64 over its rows_per_band signature slots. NOT
+    bit-identical to with_minhash_bands' numpy FNV fold (ANSI mode
+    forbids the wraparound arithmetic), but bucketing only needs a
+    well-mixed injective-up-to-2⁻⁶⁴ combine of the same slots — two
+    reps share a band bucket iff all rows_per_band minima agree, the
+    identical collision event as the numpy path up to negligible
+    xxhash64 collisions."""
+    rows_per_band = n_perm // n_bands
+    return F.array(*[
+        F.xxhash64(*[sig_col[b * rows_per_band + r]
+                     for r in range(rows_per_band)])
+        for b in range(n_bands)
+    ])
 
 
 def _collapse_reps(df: DataFrame, content: str, id_col: str,
@@ -712,12 +748,18 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     from .graph import connected_components
 
     nonnull = df.where(F.col(content).isNotNull())
-    banded = with_minhash_bands(nonnull, content)
-    reps = _collapse_reps(banded, content, id_col, "bands").persist()
+    sigged = with_minhash_sig(nonnull, content)
+    reps = _collapse_reps(sigged, content, id_col, "sig").persist()
     _CLUSTER_POOL.swap(reps)
 
+    # band buckets derived JVM-side from the signature — same bucket
+    # membership as the with_minhash_bands path (a band collides iff
+    # all its signature slots agree, modulo negligible hash collisions);
+    # the full signature rides along for the estimate tier below
     buckets = reps.select(
-        "rep_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+        "rep_id",
+        F.posexplode(_bands_from_sig(F.col("sig")))
+        .alias("band_idx", "band_hash"))
     if max_bucket is not None:
         occ = buckets.groupBy("band_idx", "band_hash").agg(
             F.count(F.lit(1)).alias("__occ"))
@@ -741,6 +783,30 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     # shingle transform re-evaluated per PAIR dominates runtime 10-30x
     # otherwise (same finding as _sim_pairs' per-doc CTE). Only ids that
     # actually appear in a candidate pair are shingled (semi-join prune).
+    #
+    # Three-tier verify, cheapest test first — at LSH thresholds
+    # calibrated for J ≥ 0.9, template-heavy corpora emit 100-1000x
+    # more candidates than true pairs (sf0.1's synthetic documents:
+    # 273k candidates, 240 verified), so the verify stage's cost is
+    # ALL about what ships per candidate:
+    # 1. shingle-COUNT bound (2 longs/side):
+    #    J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|),
+    #    so a pair whose distinct-shingle counts differ by more than
+    #    1/t is provably below threshold — zero recall loss;
+    # 2. signature ESTIMATE (64 longs/side, the classic two-phase
+    #    MinHashLSH): per-permutation agreement is Bernoulli(J), so
+    #    matches ~ Binomial(64, J); cut at t − 4.5σ — a true J ≥ t
+    #    pair fails with P < 1e-5, far below the banding's own inherent
+    #    (1−t⁸)⁸ ≈ 1% candidate-miss rate, so the estimate tier adds
+    #    nothing measurable to the miss budget while killing the
+    #    template-similarity swarm (J ≈ 0.3-0.6) before any shingle
+    #    array moves;
+    # 3. exact Jaccard over xxhash64'd trigram sets on the survivors —
+    #    equal to string-set Jaccard unless two DISTINCT trigrams of
+    #    one pair's union collide in 64 bits (~1e-9 corpus-wide); long
+    #    arrays intersect several times faster than string arrays and
+    #    ship at 8 B/element. The survivor set is near the true pair
+    #    set, so AQE broadcasts these final joins.
     cand_ids = (cand.select(F.col("ra").alias("__tid"))
                 .unionByName(cand.select(F.col("rb").alias("__tid")))
                 .distinct())
@@ -748,11 +814,37 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
         nonnull.select(F.col(id_col).alias("__tid"),
                        F.col(content).alias("__text"))
         .join(cand_ids, "__tid", "semi")
-        .select("__tid", _shingles("__text").alias("__s"))
+        .select("__tid",
+                F.transform(_shingles("__text"),
+                            lambda s: F.xxhash64(s)).alias("__s"))
+        .withColumn("__n", F.size("__s"))
+    ).persist()
+    _CLUSTER_POOL.track(shingled)
+
+    # (rep_id, n, sig) side table: tiers 1+2 join ONCE per pair side
+    side = (reps.select(F.col("rep_id").alias("__tid"), "sig")
+            .join(shingled.select("__tid", "__n"), "__tid"))
+    margin = 4.5 * math.sqrt(threshold * (1.0 - threshold) / _MH_PERMS)
+    min_matches = math.ceil(max(0.0, threshold - margin) * _MH_PERMS)
+    matches = F.aggregate(
+        F.zip_with("siga", "sigb",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    plausible = (
+        cand.join(side.select(F.col("__tid").alias("ra"),
+                              F.col("__n").alias("na"),
+                              F.col("sig").alias("siga")), "ra")
+        .join(side.select(F.col("__tid").alias("rb"),
+                          F.col("__n").alias("nb"),
+                          F.col("sig").alias("sigb")), "rb")
+        .where((F.least("na", "nb").cast("double")
+                >= F.greatest("na", "nb") * F.lit(threshold))
+               & (matches >= F.lit(min_matches)))
+        .select("ra", "rb")
     )
     pairs = (
-        cand.join(shingled.select(F.col("__tid").alias("ra"),
-                                  F.col("__s").alias("sa")), "ra")
+        plausible.join(shingled.select(F.col("__tid").alias("ra"),
+                                       F.col("__s").alias("sa")), "ra")
         .join(shingled.select(F.col("__tid").alias("rb"),
                               F.col("__s").alias("sb")), "rb")
     )
