@@ -294,15 +294,21 @@ def _pq_codebooks(df: DataFrame, vec: str, id_col: str, dim: int,
     books = np.empty((n_sub, n_centroids, sub), dtype=np.float64)
     for s in range(n_sub):
         x = m[:, s * sub:(s + 1) * sub]
+        xsq = (x * x).sum(axis=1, keepdims=True)
         c = x[:n_centroids].copy()
         for _ in range(n_iter):
-            # assign to nearest centroid (squared L2), recompute means
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # assign to nearest centroid: argmin over the expanded
+            # ||x||² − 2x·c + ||c||² (GEMM instead of an (n, k, sub)
+            # broadcast temporary — the driver-side loop was 5 s of the
+            # 9 s ann_pq wall at sf0.1), then centroid means via a
+            # single indexed scatter-add instead of k boolean masks
+            d = xsq - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
             a = d.argmin(axis=1)
-            for j in range(n_centroids):
-                pts = x[a == j]
-                if len(pts):
-                    c[j] = pts.mean(axis=0)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=n_centroids)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
         books[s] = c
     return books
 
