@@ -727,9 +727,12 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     still catch).
 
     Shuffle posture: content bytes never shuffle in the collapse (only
-    digest/bands/id tuples); the verify step joins the bounded candidate
-    pair list against (id, content) twice — AQE broadcasts the candidate
-    side when it is small, which at high thresholds it is.
+    digest/signature/id tuples); verification is tiered cheapest-first —
+    a provably-lossless shingle-count bound (2 longs per side), a
+    Binomial signature estimate (64 longs per side, cut at
+    threshold − 4.5σ), and exact Jaccard over xxhash64'd trigram sets
+    only for the near-true survivor set, which AQE then broadcasts (see
+    the inline tier comments and PLANS.md "near_dup_clusters").
 
     `threshold` gates only the exact-Jaccard VERIFY stage; candidate
     generation is the fixed 8-band × 8-row minhash banding tuned for the
