@@ -1,15 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Design for image/audio/video columns in a training-data table:
-`media(binary)` + `media_meta(struct<kind,format,width,height,sample_rate>)`.
-The Spark-side machinery — schema, Arrow batch shape, mapInPandas decode
-stage, partition sizing — is real and tested; the codec step itself is
-STUBBED (this container ships no image/audio libraries): `decode_stub`
-raises NotImplementedError for real formats and supports the deterministic
-`fake/raw` format used by tests, which packs little-endian uint8 pixels.
+`media(binary)` + typed metadata columns. The Spark-side machinery —
+schema, Arrow batch shape, mapInPandas decode stage, partition sizing —
+is real and tested, and so are the codecs for formats that are pure
+byte-layout parses: **PPM/PGM (netpbm P6/P5) images and RIFF/WAV PCM
+audio decode with numpy alone** (`_decode_ppm`, `_decode_wav`), with a
+round-trip encoder for each so tests prove bit-exactness. Compressed
+codecs (png/jpeg/mp4) genuinely need external libraries this container
+does not ship; those formats raise NotImplementedError at the same
+dispatch point where production would plug Pillow/soundfile/av.
 
 The feature extractor (byte histogram + moments) is the stand-in for a
-real embedding model and is fully vectorized.
+real embedding model and is fully vectorized; `resize_images` (exact
+nearest-neighbor grid) and `sample_audio_windows` (deterministic
+evenly-spaced windows) are the classic preprocess stages, each one
+mapInPandas pass with no shuffle.
 """
 
 from __future__ import annotations
@@ -20,14 +26,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, LongType, StringType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),      # image | audio | video
-    StructField("format", StringType()),    # png | jpeg | wav | fake/raw ...
+    StructField("format", StringType()),    # ppm | pgm | wav | fake/raw ...
     StructField("payload", BinaryType()),
 ])
 
@@ -43,18 +49,153 @@ FEATURE_SCHEMA = StructType([
 _HIST_BINS = 16
 
 
-def decode_stub(payload: bytes, fmt: str) -> np.ndarray:
-    """Decode a payload to a uint8 sample array.
+# ---------------------------------------------------------------------------
+# codecs (numpy-only byte-layout formats)
+# ---------------------------------------------------------------------------
 
-    Real codecs (png/jpeg/wav/mp4) are NOT available in this container —
-    plug Pillow/soundfile/av here in production. The deterministic
-    'fake/raw' format is the tested stand-in.
-    """
+
+def _read_pnm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited netpbm header token, skipping
+    '#'-comments (spec: comments run to end-of-line)."""
+    n = len(buf)
+    while pos < n:
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            while pos < n and buf[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and not buf[pos:pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated netpbm header")
+    return buf[start:pos], pos
+
+
+def _decode_ppm(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """(pixels uint8 (h, w, c), width, height, channels) from binary
+    netpbm: P6 (RGB) or P5 (grayscale), maxval ≤ 255. Header is ASCII
+    tokens (magic, width, height, maxval) with '#' comments; exactly one
+    whitespace byte separates maxval from the raster."""
+    magic, pos = _read_pnm_token(payload, 0)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload (magic={magic!r})")
+    w_tok, pos = _read_pnm_token(payload, pos)
+    h_tok, pos = _read_pnm_token(payload, pos)
+    maxval_tok, pos = _read_pnm_token(payload, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(maxval_tok)
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    channels = 3 if magic == b"P6" else 1
+    pos += 1   # the single whitespace after maxval
+    need = w * h * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    if raster.size < need:
+        raise ValueError("netpbm raster shorter than width*height*channels")
+    return raster.reshape(h, w, channels), w, h, channels
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3|1) -> binary P6/P5 payload (round-trip partner of
+    _decode_ppm, used by resize_images and the synthetic generator)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    magic = b"P6" if c == 3 else b"P5"
+    header = b"%s\n%d %d\n255\n" % (magic, w, h)
+    return header + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(samples int16 (n, channels), sample_rate, channels) from a
+    RIFF/WAVE container with PCM (format tag 1) 8- or 16-bit data.
+    Chunks are walked by the spec's (id, le32 size) framing with the
+    odd-size pad byte, so extra chunks (LIST/fact/...) are skipped."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only PCM 8/16-bit WAV supported (fmt={audio_format}, "
+            f"bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2).astype(np.int16)
+    else:   # 8-bit WAV is unsigned, offset-128
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+    if channels > 1:
+        samples = samples[: (samples.size // channels) * channels]
+        samples = samples.reshape(-1, channels)
+    else:
+        samples = samples.reshape(-1, 1)
+    return samples, sample_rate, channels
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 (n,) or (n, channels) -> PCM16 RIFF/WAVE payload."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode a payload to a flat uint8 sample array (the byte-feature
+    view — image pixels, or audio int16 reinterpreted as bytes).
+
+    ppm/pgm/wav/fake-raw are decoded for real (numpy byte parsing);
+    compressed codecs (png/jpeg/mp4) need external libraries this
+    container does not ship — plug Pillow/soundfile/av here in
+    production."""
     if fmt == "fake/raw":
         return np.frombuffer(payload, dtype=np.uint8)
+    if fmt in ("ppm", "pgm"):
+        return _decode_ppm(payload)[0].ravel()
+    if fmt == "wav":
+        return _decode_wav(payload)[0].view(np.uint8).ravel()
     raise NotImplementedError(
         f"codec for format={fmt!r} not bundled; install a decoder and "
-        "register it in decode_stub")
+        "register it in decode()")
+
+
+# back-compat alias (pre-round-3 name; decode() now handles real formats)
+decode_stub = decode
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages
+# ---------------------------------------------------------------------------
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -68,7 +209,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             for mid, kind, fmt, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["format"], pdf["payload"]
             ):
-                arr = decode_stub(payload, fmt)
+                arr = decode(payload, fmt)
                 hist = np.bincount(arr >> 4, minlength=_HIST_BINS)
                 out.append((
                     int(mid), kind, int(arr.size),
@@ -82,8 +223,92 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(feats, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("payload", BinaryType()),   # re-encoded netpbm
+])
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of every ppm/pgm row to (out_w, out_h),
+    re-emitted as netpbm payloads. Deterministic integer grid
+    (floor(i * src / dst) — the classic exact NN index map), one
+    mapInPandas pass, rows with other formats are dropped (select the
+    image subset upstream)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                if fmt not in ("ppm", "pgm"):
+                    continue
+                px, w, h, c = _decode_ppm(payload)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = px[yi][:, xi]
+                out.append((int(mid), out_w, out_h, c, encode_ppm(small)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(rs, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("window_idx", IntegerType()),
+    StructField("start_sample", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+])
+
+
+def sample_audio_windows(df: DataFrame, n_windows: int = 4,
+                         window: int = 256) -> DataFrame:
+    """Deterministic audio frame sampling: n evenly-spaced windows of
+    `window` samples per wav row (channel-averaged), each summarized to
+    RMS + peak — the video-frame-sampling analog for the audio
+    modality. One mapInPandas pass; non-wav rows are dropped."""
+
+    def win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                if fmt != "wav":
+                    continue
+                samples, rate, _ = _decode_wav(payload)
+                mono = samples.mean(axis=1)
+                n = mono.size
+                for k in range(n_windows):
+                    start = (k * max(n - window, 0)) // max(n_windows - 1, 1)
+                    seg = mono[start:start + window]
+                    if seg.size == 0:
+                        continue
+                    out.append((
+                        int(mid), k, int(start), int(rate),
+                        float(np.sqrt((seg * seg).mean())),
+                        float(np.abs(seg).max()),
+                    ))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_WINDOW_SCHEMA.fields])
+
+    return df.mapInPandas(win, AUDIO_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# synthetic generator
+# ---------------------------------------------------------------------------
+
+
 def gen_fake_media(spark, n: int, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table (seeded bytes per id)."""
+    """Deterministic media table (seeded per id): REAL ppm/pgm/wav
+    payloads cycled by id so the true codec paths are exercised, plus
+    the fake/raw stratum for the byte-plumbing tests."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,11 +316,29 @@ def gen_fake_media(spark, n: int, partitions: int = 4) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.Generator(np.random.Philox(key=i))
-                size = 256 + (i * 37) % 512
-                rows.append((
-                    i, ("image", "audio", "video")[i % 3], "fake/raw",
-                    rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
-                ))
+                which = i % 4
+                if which == 0:       # RGB image
+                    w, h = 8 + i % 9, 6 + i % 7
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    rows.append((i, "image", "ppm", encode_ppm(px)))
+                elif which == 1:     # grayscale image
+                    w, h = 8 + i % 9, 6 + i % 7
+                    px = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+                    rows.append((i, "image", "pgm", encode_ppm(px)))
+                elif which == 2:     # PCM16 audio
+                    n_s = 512 + (i * 13) % 512
+                    t = np.arange(n_s)
+                    freq = 0.01 + (i % 50) / 500.0
+                    sig = (np.sin(2 * np.pi * freq * t) * 8192).astype(
+                        np.int16)
+                    rows.append((i, "audio", "wav", encode_wav(sig, 8000)))
+                else:                # raw byte stratum
+                    size = 256 + (i * 37) % 512
+                    rows.append((
+                        i, "video", "fake/raw",
+                        rng.integers(0, 256, size, dtype=np.uint8)
+                        .tobytes(),
+                    ))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

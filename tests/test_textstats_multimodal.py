@@ -47,20 +47,92 @@ def test_fingerprints(spark):
 
 def test_multimodal_features(spark):
     media = gen_fake_media(spark, 30, partitions=2)
+    rows = media.toPandas().set_index("media_id")
     feats = extract_features(media).toPandas().sort_values("media_id")
     assert len(feats) == 30
     assert (feats["histogram"].apply(sum) == feats["n_bytes"]).all()
-    assert feats["byte_mean"].between(100, 155).all()  # uniform bytes
+    # uniform-byte assertion holds only for the raw stratum; the real
+    # codec strata (ppm/pgm uniform pixels are also ~127, wav sine is
+    # structured) get exactness tests of their own below
+    raw_ids = rows.index[rows["format"] == "fake/raw"]
+    raw = feats[feats["media_id"].isin(raw_ids)]
+    assert len(raw) > 0 and raw["byte_mean"].between(100, 155).all()
     # deterministic: same id → same features
     again = extract_features(media).toPandas().sort_values("media_id")
     assert feats["byte_mean"].tolist() == again["byte_mean"].tolist()
 
 
-def test_decode_stub_gates_real_codecs():
+def test_decode_gates_compressed_codecs():
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG...", "png")
     arr = decode_stub(bytes(range(10)), "fake/raw")
     assert isinstance(arr, np.ndarray) and arr.tolist() == list(range(10))
+
+
+def test_ppm_round_trip_bit_exact():
+    from dqm_spark.operators.multimodal import _decode_ppm, encode_ppm
+    rng = np.random.Generator(np.random.Philox(key=7))
+    for c in (3, 1):
+        px = rng.integers(0, 256, (5, 9, c), dtype=np.uint8)
+        back, w, h, ch = _decode_ppm(encode_ppm(px))
+        assert (w, h, ch) == (9, 5, c)
+        assert np.array_equal(back, px)
+    # header comments are spec-legal and must be skipped
+    payload = b"P5\n# a comment\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    back, w, h, ch = _decode_ppm(payload)
+    assert back.ravel().tolist() == [1, 2, 3, 4] and (w, h, ch) == (2, 2, 1)
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n255\n\x00")   # truncated raster
+
+
+def test_wav_round_trip_and_extra_chunks():
+    from dqm_spark.operators.multimodal import _decode_wav, encode_wav
+    sig = (np.sin(np.arange(400) * 0.1) * 1000).astype(np.int16)
+    samples, rate, ch = _decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and ch == 1
+    assert np.array_equal(samples.ravel(), sig)
+    # stereo
+    st = np.stack([sig, -sig], axis=1)
+    samples, rate, ch = _decode_wav(encode_wav(st, 8000))
+    assert ch == 2 and np.array_equal(samples, st)
+    # an extra odd-size chunk before data must be skipped (word-align pad)
+    payload = bytearray(encode_wav(sig, 8000))
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    payload[12:12] = extra   # inject after the RIFF/WAVE preamble
+    payload[4:8] = (len(payload) - 8 + len(extra)).to_bytes(4, "little")
+    samples2, _, _ = _decode_wav(bytes(payload))
+    assert np.array_equal(samples2.ravel(), sig)
+
+
+def test_resize_images_exact_grid(spark):
+    from dqm_spark.operators.multimodal import (
+        _decode_ppm, encode_ppm, resize_images)
+    rng = np.random.Generator(np.random.Philox(key=11))
+    px = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame([(1, "image", "ppm", bytearray(encode_ppm(px)))],
+                     columns=["media_id", "kind", "format", "payload"]))
+    out = resize_images(media, 7, 5).toPandas()
+    assert out[["width", "height", "channels"]].iloc[0].tolist() == [7, 5, 3]
+    back, w, h, c = _decode_ppm(bytes(out["payload"].iloc[0]))
+    yi = (np.arange(5) * 10) // 5
+    xi = (np.arange(7) * 14) // 7
+    assert np.array_equal(back, px[yi][:, xi])   # exact NN grid
+
+
+def test_sample_audio_windows(spark):
+    from dqm_spark.operators.multimodal import (
+        encode_wav, sample_audio_windows)
+    # constant amplitude → every window has the same RMS == amplitude
+    sig = np.full(2048, 1000, dtype=np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame([(5, "audio", "wav", bytearray(encode_wav(sig, 8000)))],
+                     columns=["media_id", "kind", "format", "payload"]))
+    out = sample_audio_windows(media, n_windows=4, window=256).toPandas()
+    assert len(out) == 4
+    assert out["window_idx"].tolist() == [0, 1, 2, 3]
+    assert np.allclose(out["rms"], 1000.0) and np.allclose(out["peak"], 1000)
+    assert (out["sample_rate"] == 8000).all()
 
 
 def _rep_oracle(text: str, unit: str) -> dict | None:
