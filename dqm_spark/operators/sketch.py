@@ -1,0 +1,117 @@
+"""Bounded-memory heavy hitters: Misra-Gries sketch + exact recount.
+
+Why not just `groupBy(term).count()`? Spark's two-stage hash agg is the
+right plan while the DISTINCT-key set fits executor memory — and for
+word-like terms it does. But a 10¹²-file corpus keyed by high-cardinality
+terms (identifiers, n-grams, URLs) makes even the map-side PARTIAL agg
+state proportional to the key space: every mapper holds its own hash
+table of every key it saw, then the full dictionary shuffles. The
+Misra-Gries summary (Misra & Gries '82; merge rule from Agarwal et al.,
+"Mergeable Summaries", PODS'12) caps per-task state at k counters with
+the classic guarantee: **any term with true frequency > N/k survives the
+sketch**. A second, candidate-restricted pass recounts the ≤ k·P
+surviving terms exactly (broadcast semi-join — the candidate set is tiny
+by construction), so the operator's OUTPUT is exact: precisely the terms
+with freq·k > N, with exact counts — which is what lets a DuckDB oracle
+match it value-for-value even though the intermediate sketch is lossy.
+
+Guarantee sketch (why no true heavy hitter can be missed): within one
+partition the merged summary undercounts any term by at most
+n_p/(k+1) < n_p/k (each overflow subtracts the (k+1)-th largest count,
+which at that moment is ≤ processed/(k+1)). If freq(t) > N/k globally,
+then f_p(t) > n_p/k in at least one partition p (otherwise
+freq = Σf_p ≤ ΣN_p/k = N/k), so t's counter stays positive there and t
+reaches the recount.
+
+dqm analog: the reference's Hist module keeps fixed-width per-channel
+histograms regardless of stream length (/root/reference/src/Hist.cxx) —
+constant state per monitored entity; here the constant-state summary is
+over an unbounded key space instead of a fixed bin grid.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sentinel term for the per-partition total row emitted by the sketch
+# pass (terms are regexp word matches, so an empty string never occurs)
+_TOTAL = None
+
+
+def _mg_merge(summary: dict[str, int], batch: dict[str, int],
+              k: int) -> dict[str, int]:
+    """Merge exact batch counts into a Misra-Gries summary bounded at k
+    entries (Agarwal et al. merge: add, then subtract the (k+1)-th
+    largest count and drop non-positives). Returns the new summary."""
+    for t, c in batch.items():
+        summary[t] = summary.get(t, 0) + int(c)
+    if len(summary) > k:
+        vals = np.fromiter(summary.values(), dtype=np.int64,
+                           count=len(summary))
+        # (k+1)-th largest = index -(k+1) of the ascending partition
+        kth = int(np.partition(vals, -(k + 1))[-(k + 1)])
+        summary = {t: c - kth for t, c in summary.items() if c > kth}
+    return summary
+
+
+def heavy_hitters(df: DataFrame, term: str = "term",
+                  k: int = 20) -> DataFrame:
+    """Exactly the terms with frequency·k > N (N = total term count),
+    with exact frequencies — computed with bounded per-task state.
+
+    Pass 1 (mapInPandas): one Misra-Gries summary per PARTITION, k
+    counters, batches pre-aggregated with pandas value_counts before
+    merging (vectorized; the merge itself touches ≤ k + batch-distinct
+    entries). Each partition emits its ≤ k candidate terms plus one
+    total row. Pass 2: exact recount of candidate terms only (broadcast
+    semi-join prune, then the ordinary two-stage hash agg over a key
+    space bounded by k·P), filtered to freq·k > N.
+    """
+    terms = df.select(F.col(term).alias("term")).where(
+        F.col("term").isNotNull())
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict[str, int] = {}
+        n_seen = 0
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            n_seen += int(vc.sum())
+            summary = _mg_merge(summary, vc.to_dict(), k)
+        out = [(t, int(c)) for t, c in summary.items()]
+        out.append((_TOTAL, n_seen))
+        yield pd.DataFrame(out, columns=["term", "cnt"])
+
+    summaries = terms.mapInPandas(sketch, "term string, cnt long").persist()
+    total = (summaries.where(F.col("term").isNull())
+             .agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0])
+    # candidate terms are ≤ k per partition BY CONSTRUCTION — this
+    # collect is bounded the way the similarity module's query-set
+    # collects are, and materializing them driver-side lets the persist
+    # be released before the recount job runs
+    cand = [r["term"] for r in summaries.where(F.col("term").isNotNull())
+            .select("term").distinct().collect()]
+    summaries.unpersist()
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand], "term string")
+    return (
+        terms.join(F.broadcast(candidates), "term", "semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * F.lit(k) > F.lit(int(total)))
+        .orderBy(F.desc("freq"), F.asc("term"))
+    )
+
+
+def word_heavy_hitters(df: DataFrame, content: str = "content",
+                       k: int = 20) -> DataFrame:
+    """heavy_hitters over WORD_PATTERN tokens of a text column."""
+    from ..functions import text as T
+    words = df.where(F.col(content).isNotNull()).select(
+        F.explode(F.regexp_extract_all(
+            F.col(content), F.lit(T.WORD_PATTERN), F.lit(0))).alias("term"))
+    return heavy_hitters(words, "term", k)

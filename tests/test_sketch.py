@@ -1,0 +1,92 @@
+"""Misra-Gries heavy hitters: exactness of the recounted output, the
+survival guarantee, bounded summary state, partitioning invariance."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from dqm_spark.operators.sketch import _mg_merge, heavy_hitters
+
+
+def _exact_hitters(terms, k):
+    c = Counter(terms)
+    n = sum(c.values())
+    return sorted(((t, f) for t, f in c.items() if f * k > n),
+                  key=lambda tf: (-tf[1], tf[0]))
+
+
+def _zipf_terms(n, seed):
+    rng = random.Random(seed)
+    # heavy skew: a few hot terms + a long unique tail
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.30:
+            out.append("the")
+        elif r < 0.45:
+            out.append("def")
+        elif r < 0.55:
+            out.append("import")
+        elif r < 0.60:
+            out.append(f"mid{rng.randrange(20)}")
+        else:
+            out.append(f"tail{i}")
+    return out
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_exact_output_any_partitioning(spark, parts):
+    """Output == the exact freq*k > N set regardless of how the input is
+    partitioned — the sketch is lossy, the recount restores exactness."""
+    terms = _zipf_terms(5000, seed=42)
+    df = spark.createDataFrame(
+        pd.DataFrame({"term": terms})).repartition(parts)
+    got = [(r["term"], r["freq"])
+           for r in heavy_hitters(df, "term", k=10).collect()]
+    assert got == _exact_hitters(terms, 10)
+
+
+def test_guarantee_holds_at_tiny_k(spark):
+    """k=2: only terms above N/2 qualify; with one term at 60% it must
+    be found even though the summary keeps just 2 counters."""
+    terms = ["hot"] * 600 + [f"u{i}" for i in range(400)]
+    random.Random(7).shuffle(terms)
+    df = spark.createDataFrame(pd.DataFrame({"term": terms})).repartition(8)
+    got = heavy_hitters(df, "term", k=2).collect()
+    assert [(r["term"], r["freq"]) for r in got] == [("hot", 600)]
+
+
+def test_merge_bounds_state_and_undercount():
+    """Summary never exceeds k entries and undercounts any term by at
+    most n_seen/(k+1) — the MG invariant the guarantee rests on."""
+    rng = random.Random(3)
+    truth: Counter = Counter()
+    summary: dict[str, int] = {}
+    k = 8
+    for _ in range(50):
+        batch = Counter(rng.choice("abcdefghijklmnop")
+                        for _ in range(rng.randrange(1, 200)))
+        truth.update(batch)
+        summary = _mg_merge(summary, dict(batch), k)
+        n = sum(truth.values())
+        assert len(summary) <= k
+        for t, lb in summary.items():
+            assert lb <= truth[t]                      # never overcounts
+        for t, f in truth.items():
+            assert summary.get(t, 0) >= f - n / (k + 1)   # bounded undercount
+
+
+def test_empty_and_null_input(spark):
+    df = spark.createDataFrame(pd.DataFrame({"term": pd.Series(
+        [], dtype="object")}), schema="term string")
+    assert heavy_hitters(df, "term", k=5).count() == 0
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"term": [None, None, "x", "x", "x"]}),
+        schema="term string")
+    got = heavy_hitters(df2, "term", k=2).collect()
+    # N counts only non-null terms (3); x has all 3 > 3/2
+    assert [(r["term"], r["freq"]) for r in got] == [("x", 3)]
