@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "doc_cluster_lsh", "doc_pack_bins", "doc_snapshot_latest",
     # added round 3 (grows the suite total vs r1/r2 snapshots; compare
     # per-query, not the summed value)
-    "doc_bpe_pairs", "doc_tfidf_top_terms",
+    "doc_bpe_pairs", "doc_tfidf_top_terms", "doc_heavy_hitters",
     "doc_entropy_secrets", "doc_incremental_dedup",
     "doc_quality_classifier", "doc_train_order", "doc_domain_census",
     "events_anomaly", "repo_fork_pairs",
