@@ -103,3 +103,75 @@ def test_broadcast_zero_corpus_shuffle(spark):
                    if i > join_i and "BroadcastExchange" in ln)
     streamed = "\n".join(lines[join_i + 1:bcast_i])
     assert "Exchange hashpartitioning" not in streamed, plan
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+def _emb_frame(spark):
+    import numpy as np
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    pdf = pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_semantic_planted_clone_flags(spark):
+    """A byte-identical clone of a benchmark vector must flag with
+    nearest = its source and max_cos ~ 1.0; random 16-dim gaussians are
+    nowhere near cosine 0.95 of each other, so nothing else flags."""
+    from dqm_spark.operators.decontam import semantic_decontaminate
+    e = _emb_frame(spark)
+    bench = e.filter("vec_id < 4")
+    clones = bench.selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    corpus = e.filter("vec_id >= 4").unionByName(clones)
+    out = semantic_decontaminate(corpus, bench, threshold=0.95) \
+        .toPandas().set_index("vec_id").sort_index()
+    for bid in range(4):
+        row = out.loc[bid + 1000]
+        assert bool(row["contaminated"])
+        assert int(row["nearest_bench_id"]) == bid
+        assert abs(row["max_cos"] - 1.0) < 1e-9
+    natural = out[out.index < 1000]
+    assert not natural["contaminated"].any()
+    # every corpus row is present (clean ones too, unlike the n-gram op)
+    assert len(out) == 36 + 4
+
+
+def test_semantic_zero_and_null_vectors(spark):
+    """Zero-norm and NULL corpus vectors: max_cos NULL, contaminated
+    false, nearest NULL — never a NaN-driven flag or a crash."""
+    from pyspark.sql import types as T
+    from dqm_spark.operators.decontam import semantic_decontaminate
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0])], schema)
+    bench = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], schema)
+    out = semantic_decontaminate(corpus, bench, threshold=0.5) \
+        .toPandas().set_index("vec_id").sort_index()
+    assert not out.loc[1, "contaminated"] and not out.loc[2, "contaminated"]
+    assert pd.isna(out.loc[1, "max_cos"]) and pd.isna(out.loc[2, "max_cos"])
+    assert pd.isna(out.loc[1, "nearest_bench_id"])
+    assert bool(out.loc[3, "contaminated"])
+    assert int(out.loc[3, "nearest_bench_id"]) == 0
+
+
+def test_semantic_zero_shuffle_plan(spark):
+    """The corpus never shuffles: the physical plan is scan ->
+    ArrowEvalPython (benchmark is driver-collected + broadcast), with
+    zero Exchange nodes of any kind."""
+    from dqm_spark.operators.decontam import semantic_decontaminate
+    e = _emb_frame(spark)
+    out = semantic_decontaminate(e.filter("vec_id >= 4"),
+                                 e.filter("vec_id < 4"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan, plan
