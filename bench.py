@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "doc_rule_flags", "doc_scrub_sha", "doc_token_stats",
     "doc_quality_scores", "doc_repetition_words",
     "doc_minhash_dedup", "doc_simhash_dedup",
-    "doc_decontaminate", "doc_para_dedup",
+    "doc_decontaminate", "doc_para_dedup", "emb_semantic_decontam",
     "ann_bruteforce", "ann_lsh", "ann_pq",
     "doc_cluster_lsh", "doc_pack_bins", "doc_snapshot_latest",
     # added round 3 (grows the suite total vs r1/r2 snapshots; compare
