@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "doc_bpe_pairs", "doc_tfidf_top_terms", "doc_heavy_hitters",
     "doc_entropy_secrets", "doc_incremental_dedup",
     "doc_quality_classifier", "doc_train_order", "doc_domain_census",
-    "events_anomaly", "repo_fork_pairs",
+    "events_anomaly", "repo_fork_pairs", "doc_dup_substrings",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]

@@ -1,0 +1,85 @@
+"""Exact substring (duplicated-span) dedup: planted-corpus goldens.
+
+Hand-computed expectations on a 5-doc corpus with a cross-doc shared
+run, an internal repeat, a unique doc, and a NULL doc — every branch of
+the stats fold and the scrub keeper election is pinned. Plan hygiene:
+no Python evaluation anywhere (the operator is all codegen + HOFs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.substring import (
+    dup_substring_scrub,
+    dup_substring_stats,
+)
+
+ROWS = [
+    (1, "a b c d e X Y Z"),   # shares "a b c","b c d" (k=3) with doc 2
+    (2, "q a b c d r s t"),
+    (3, "u v w x y z"),       # unique
+    (4, None),                # NULL text
+    (5, "m m m m"),           # within-doc repeat: "m m m" at pos 0 and 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id: long, text: string")
+
+
+def test_stats_golden(docs):
+    got = {r["doc_id"]: r.asDict() for r in
+           dup_substring_stats(docs, k=3).collect()}
+    # doc 1: dup positions 0,1 -> union [0..3] = 4 words
+    assert got[1] == {"doc_id": 1, "n_dup_positions": 2,
+                      "n_dup_grams": 2, "covered_words": 4}
+    # doc 2: dup positions 1,2 -> union [1..4] = 4 words
+    assert got[2] == {"doc_id": 2, "n_dup_positions": 2,
+                      "n_dup_grams": 2, "covered_words": 4}
+    # doc 5: one gram ("m m m") duplicated WITHIN the doc at pos 0,1
+    assert got[5] == {"doc_id": 5, "n_dup_positions": 2,
+                      "n_dup_grams": 1, "covered_words": 4}
+    # unique and NULL docs emit no stats row
+    assert set(got) == {1, 2, 5}
+
+
+def test_scrub_golden(docs):
+    got = {r["doc_id"]: r["clean_text"] for r in
+           dup_substring_scrub(docs, k=3).collect()}
+    assert got == {
+        1: "a b c d e X Y Z",  # holds both keepers -> untouched
+        2: "q r s t",          # [1..4] removed
+        3: "u v w x y z",      # unique -> only whitespace-normalized
+        4: "",                 # NULL text -> ''
+        5: "m",                # keeper span [0..2] survives via union;
+                               # removable pos 1 covers [1..3]
+    }
+
+
+def test_exactly_one_keeper_occurrence_survives(spark):
+    """Corpus-wide, a duplicated gram occurs exactly once in the scrubbed
+    output when spans don't overlap: 30 docs sharing one 4-word block."""
+    block = "alpha beta gamma delta"
+    rows = [(i, f"u{i} v{i} {block} w{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dup_substring_scrub(df, k=4).collect()
+    holders = [r for r in out if block in r["clean_text"]]
+    assert len(holders) == 1 and holders[0]["doc_id"] == 0
+    assert all(f"u{r['doc_id']}" in r["clean_text"] for r in out)
+
+
+def test_hash_keys_path_matches_exact(docs):
+    exact = sorted(map(tuple, dup_substring_stats(docs, k=3).collect()))
+    hashed = sorted(map(tuple, dup_substring_stats(
+        docs, k=3, hash_keys=True).collect()))
+    assert exact == hashed
+
+
+def test_no_python_eval_in_plans(docs):
+    for df in (dup_substring_stats(docs, k=3),
+               dup_substring_scrub(docs, k=3)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
