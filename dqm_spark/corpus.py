@@ -52,6 +52,8 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    repetition_filter: bool = False,
                    max_dup_line_char_frac: float = 0.5,
                    sequence_dedup: bool = False,
+                   substring_dedup: bool = False,
+                   substring_k: int = 50,
                    paragraph_dedup: bool = False,
                    decontaminate_against: DataFrame | None = None,
                    decontam_ngram: int = 8,
@@ -67,6 +69,17 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
     occurrence only) BEFORE scoring — content entering decisions() is the
     deduped text, so the per-row sha256 certifies the deduped bytes. Also
     OFF by default for the same invariant reason.
+
+    substring_dedup=True rewrites survivors through
+    substring.dup_substring_scrub (Lee et al. exact substring dedup:
+    every word `substring_k`-gram occurring >= 2 times among survivors
+    is scrubbed everywhere but its keeper occurrence) BEFORE scoring.
+    The scrub preserves each surviving word's preceding whitespace run
+    (newlines/indentation survive; untouched docs round-trip minus
+    trailing whitespace) — still OFF by default, because any rewrite
+    breaks the per-row sha256/F1 invariant against the reference.
+    k defaults to 50 words, the Lee et al. span scale, far above
+    natural n-gram collision length.
 
     paragraph_dedup=True rewrites each surviving doc through
     dedup.within_doc_paragraph_dedup (repeated paragraphs kept at first
@@ -149,6 +162,14 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
             .withColumn("content",
                         F.coalesce("dedup_content", "content"))
             .drop("dedup_content"))
+    if substring_dedup:
+        from .operators.substring import dup_substring_scrub
+        scrubbed = dup_substring_scrub(
+            survivors, "content", "__id", k=substring_k, hash_keys=True,
+        ).select("__id", F.col("clean_text").alias("content"))
+        # every survivor gets a row (unscrubbed docs come back
+        # whitespace-normalized), so a plain inner join is lossless
+        survivors = survivors.drop("content").join(scrubbed, "__id")
     if sequence_dedup:
         from .operators.dedup import cross_doc_line_dedup
         rewritten = cross_doc_line_dedup(survivors, "content", "__id") \

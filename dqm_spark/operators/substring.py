@@ -146,9 +146,14 @@ def dup_substring_scrub(df: DataFrame, content: str = "text",
     """(id, clean_text) for EVERY doc: duplicated k-gram spans removed,
     except each gram's single keeper occurrence (lexicographic min
     (id, pos)), so exactly one copy of every duplicated span survives
-    the corpus. Output text is the single-space join of surviving words
-    (whitespace is normalized for all docs, scrubbed or not, so the
-    column is uniformly comparable); NULL/wordless docs yield ''.
+    the corpus. Reconstruction is WHITESPACE-PRESERVING: each surviving
+    word keeps the whitespace run that immediately precedes it in the
+    original (newlines and indentation survive — line-oriented rules
+    downstream still see the original line structure), removed spans
+    take their internal separators with them, and the trailing
+    whitespace run is dropped. A doc with nothing removed round-trips
+    byte-identically minus trailing whitespace. NULL/wordless docs
+    yield ''.
 
     A keeper's words can still fall to a DIFFERENT overlapping
     removable span — span-union semantics, inherent to the method (Lee
@@ -187,6 +192,10 @@ def dup_substring_scrub(df: DataFrame, content: str = "text",
     )
 
     words = F.filter(F.split(F.col(content), r"\s+"), lambda x: x != "")
+    # split on \S+ yields the whitespace runs: seps[i] (0-based) is the
+    # run immediately BEFORE word i — identical semantics in DuckDB's
+    # regexp_split_to_array, which the oracle relies on
+    seps = F.split(F.col(content), r"\S+")
     indexed = F.transform(
         words, lambda x, i: F.struct(i.alias("i"), x.alias("w")))
     kept = F.filter(
@@ -195,11 +204,13 @@ def dup_substring_scrub(df: DataFrame, content: str = "text",
             F.coalesce(F.col("__ivs"),
                        F.array().cast("array<struct<s:int,e:int>>")),
             lambda iv: (s["i"] >= iv["s"]) & (s["i"] <= iv["e"])))
+    rebuilt = F.array_join(
+        F.transform(
+            kept, lambda s: F.concat(F.element_at(seps, s["i"] + 1),
+                                     s["w"])), "")
     return (
         df.join(ivs, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce(
-                F.array_join(F.transform(kept, lambda s: s["w"]), " "),
-                F.lit("")).alias("clean_text"))
+            F.coalesce(rebuilt, F.lit("")).alias("clean_text"))
     )

@@ -110,6 +110,36 @@ def test_sequence_dedup_stage_rewrites_content(spark):
     assert dec.loc[loser, "content_sha256"] == want
 
 
+def test_substring_dedup_stage_scrubs_duplicated_span(spark):
+    block = " ".join(f"shared{j}" for j in range(6))  # 6-word dup span
+    docs = pd.DataFrame({
+        "repo": "r", "path": ["a.py", "b.py"],
+        "commit": "c" * 40, "lang": "python",
+        "content": [
+            f"lead_a extra_a {block} tail_a",
+            f"lead_b {block} tail_b other_b",
+        ],
+    })
+    from dqm_spark.qfconfig import QFConfig
+    res = prepare_corpus(spark.createDataFrame(docs), spark,
+                         cfg=QFConfig(enable_scoring=False),
+                         near_dedup=False,
+                         substring_dedup=True, substring_k=6)
+    dec = res.decisions.toPandas().set_index("path")
+    texts = dec["scrubbed_content"].to_dict()
+    holders = [p for p, t in texts.items() if block in t]
+    assert len(holders) == 1  # keeper = min __id, content-independent
+    loser = "b.py" if holders == ["a.py"] else "a.py"
+    assert block not in texts[loser]
+    # non-span words survive; whitespace is normalized on both docs
+    assert {"lead_a", "extra_a", "tail_a"} <= set(texts["a.py"].split())
+    assert {"lead_b", "tail_b", "other_b"} <= set(texts["b.py"].split())
+    # sha256 certifies the scrubbed bytes
+    import hashlib
+    want = hashlib.sha256(texts[loser].encode()).hexdigest()
+    assert dec.loc[loser, "content_sha256"] == want
+
+
 def test_decontaminate_stage_drops_overlapping_docs(spark):
     bench_sentence = ("the eval benchmark asks exactly this question "
                       "about widgets")

@@ -58,6 +58,25 @@ def test_scrub_golden(docs):
     }
 
 
+def test_scrub_preserves_whitespace_structure(spark):
+    """Surviving words keep their preceding whitespace run (newlines,
+    indentation); an untouched doc round-trips byte-identically minus
+    trailing whitespace."""
+    block = "one two three"
+    rows = [
+        (1, f"keep_a\n    indented_a {block} end_a\n"),
+        (2, f"keep_b\t{block}\nafter_b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["clean_text"] for r in
+           dup_substring_scrub(df, k=3).collect()}
+    # doc 1 holds the keeper: byte-identical minus the trailing newline
+    assert got[1] == "keep_a\n    indented_a one two three end_a"
+    # doc 2 loses the block (and its internal seps); after_b keeps its
+    # preceding newline
+    assert got[2] == "keep_b\nafter_b"
+
+
 def test_exactly_one_keeper_occurrence_survives(spark):
     """Corpus-wide, a duplicated gram occurs exactly once in the scrubbed
     output when spans don't overlap: 30 docs sharing one 4-word block."""
@@ -78,8 +97,15 @@ def test_hash_keys_path_matches_exact(docs):
 
 
 def test_no_python_eval_in_plans(docs):
-    for df in (dup_substring_stats(docs, k=3),
-               dup_substring_scrub(docs, k=3)):
+    """No Python crossing; shuffle budget bounded (a regression to pair
+    enumeration or a cartesian would blow the Exchange count); the only
+    Window nodes are the scrub's doc-partitioned island pass."""
+    for df, max_ex, max_win in (
+            (dup_substring_stats(docs, k=3), 5, 0),
+            (dup_substring_scrub(docs, k=3), 6, 2)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= max_ex, plan
+        assert plan.count("Window") <= max_win, plan
