@@ -1,0 +1,143 @@
+"""DSIR-style importance reweighting for target-distribution matching.
+
+Data Selection with Importance Resampling (Xie et al. 2023, NeurIPS —
+public method): score every corpus doc by how much more likely its
+hashed n-gram features are under a TARGET distribution (a small exemplar
+set: curated code, a benchmark's domain, a style guide corpus) than
+under the RAW corpus distribution, then keep the top fraction. The
+standard lever for "make the training mixture look like X" without a
+trained classifier; complements models/quality.py (supervised) and
+sampling.py (unconditional).
+
+dqm analog: the reference's channel-map checks score a record's features
+against a reference distribution fit offline and broadcast
+(/root/reference/src/DQMMeanRMS.cxx pattern); here the reference
+distribution is the target exemplar set's hashed-n-gram histogram.
+
+Model: features = word unigrams + bigrams (words = ``[A-Za-z0-9_]+``,
+the dialect-safe class shared with bpe.py), hashed into ``buckets``
+buckets. Per-doc log-importance weight with add-1 smoothing:
+
+    w(doc) = sum_b  c_b(doc) * [ ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B)) ]
+
+where t_b/r_b are target/raw bucket totals, T/R their sums, B the
+bucket count — the unigram-LM log-likelihood-ratio of the doc under the
+two hashed distributions.
+
+Bucket hash is the md5 32-bit prefix (``conv(substr(md5(g),1,8),16,10)
+% buckets``) — bit-identical in DuckDB (``('0x'||substr(md5(g),1,8))
+::BIGINT``), so the feature stage is oracle-exact; a production run can
+swap xxhash64 for md5 (cheaper, same uniformity) without touching the
+shape.
+
+Scale shape (100 TB corpus, B ~ 10^4 buckets):
+* per-doc bucket counts: explode grams → groupBy(id, bucket) — the key
+  contains the doc id, so NO corpus-wide hot key can form and the
+  partial aggregate collapses within-doc repeats map-side;
+* raw distribution: groupBy(bucket) over the per-doc counts — B-bounded
+  output, partial-aggregated;
+* target distribution: the exemplar set is small by definition —
+  aggregated the same way, B-bounded;
+* the log-ratio table (B rows) broadcasts; the weight is one more
+  per-doc partial aggregate. Total: two doc-keyed shuffles + one
+  B-sized broadcast, zero Python.
+* top-fraction selection by exact rank is gate-scale machinery (global
+  window); at corpus scale select by threshold (``min_weight``) or an
+  approx-quantile cut — rank and threshold agree wherever the weight
+  distribution has no atom at the cut.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import WORD_PATTERN as WORD_RE
+
+
+def _bucket(col, buckets: int):
+    """Oracle-exact bucket id: md5 32-bit prefix mod buckets."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def _grams(content: str):
+    """array<string> of word unigrams + space-joined bigrams."""
+    words = F.regexp_extract_all(F.col(content), F.lit(WORD_RE), F.lit(0))
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(words, i), F.lit(" "),
+                               F.element_at(words, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.coalesce(words, F.array().cast("array<string>")),
+                    bigrams)
+
+
+def hashed_feature_counts(df: DataFrame, content: str, id_col: str,
+                          buckets: int = 8192) -> DataFrame:
+    """(id, bucket, c) hashed uni+bigram counts; doc-local keys only."""
+    return (
+        df.select(F.col(id_col), F.explode(_grams(content)).alias("g"))
+        .select(F.col(id_col), _bucket(F.col("g"), buckets).alias("bucket"))
+        .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _log_ratio_table(corpus_fb: DataFrame, target_fb: DataFrame,
+                     buckets: int) -> DataFrame:
+    """(bucket, lr): smoothed target-vs-raw log-probability ratio,
+    B-bounded and built from two B-sized aggregates + singleton totals
+    (cross-joined broadcast — no collect)."""
+    raw = corpus_fb.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt = target_fb.groupBy("bucket").agg(F.sum("c").alias("tc"))
+    dist = (raw.join(tgt, "bucket", "full_outer")
+            .select("bucket",
+                    F.coalesce("rc", F.lit(0)).alias("rc"),
+                    F.coalesce("tc", F.lit(0)).alias("tc")))
+    totals = dist.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
+    return (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (F.log((F.col("tc") + 1) / (F.col("T") + buckets))
+             - F.log((F.col("rc") + 1) / (F.col("R") + buckets)))
+            .alias("lr"))
+    )
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 content: str = "text", id_col: str = "doc_id",
+                 target_content: str | None = None,
+                 buckets: int = 8192) -> DataFrame:
+    """(id, n_feats, weight) for every corpus doc with >= 1 feature.
+    n_feats is the integer feature total (engine-exact); weight is the
+    double log-importance score (cross-engine agreement ~1e-15 relative
+    — compare selections, not raw weights)."""
+    fb = hashed_feature_counts(corpus, content, id_col, buckets)
+    tb = hashed_feature_counts(
+        target, target_content or content, id_col, buckets)
+    lr = _log_ratio_table(fb, tb, buckets)
+    return (
+        fb.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_feats"),
+             F.sum(F.col("c") * F.col("lr")).alias("weight"))
+    )
+
+
+def dsir_select(weights: DataFrame, frac: float = 0.25,
+                id_col: str = "doc_id") -> DataFrame:
+    """Adds ``selected``: exact top-``frac`` by (weight desc, id asc).
+    Deterministic tie-break; the global rank window is GATE-SCALE
+    machinery — at corpus scale pass the weight table to a threshold
+    filter instead (see module docstring)."""
+    n = weights.count()
+    k = math.ceil(n * frac)
+    w = Window.orderBy(F.col("weight").desc(), F.col(id_col))
+    return (weights
+            .withColumn("selected", F.row_number().over(w) <= F.lit(k)))

@@ -15,7 +15,7 @@ with scan pruning, no Python, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,3 +93,77 @@ def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],
     for stratum, w in sorted(weights.items()):
         pct = F.when(F.col(stratum_col) == stratum, F.lit(w)).otherwise(pct)
     return df.filter((_keep_hash(key, salt) % denom) < pct)
+
+
+def token_budget_sample(df: DataFrame, key: Column, budgets: dict[str, int],
+                        token_col: str, stratum_col: str = "lang",
+                        salt: str = "", buckets: int = 4096) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling: keep the hash-ordered prefix of
+    each stratum whose running `token_col` total stays within that
+    stratum's budget — the "give me exactly 50 B python tokens, 10 B go
+    tokens" mixture-composition step that rate-based `mixture_sample`
+    can only hit in expectation. Strata absent from `budgets` are
+    dropped. Deterministic across runs/partitionings (same md5 keep-hash
+    as every sampler here), and exact: the kept set is identical to the
+    naive per-stratum ORDER BY hash running-sum prefix, which is what
+    the DuckDB oracle computes.
+
+    The naive formulation is a full per-stratum window sort — at 100 TB
+    a hot stratum (half the corpus is one language) serializes its
+    running sum into one task. This implementation is two-pass and
+    skew-bounded instead:
+
+    1. bucket the hash range in ORDER (bucket = h >> (32 - log2 B)) and
+       aggregate per-stratum per-bucket token totals — ≤ S×B rows,
+       partial-aggregated map-side, collected to the driver;
+    2. the driver walks each stratum's buckets in hash order to find the
+       boundary bucket b* and the budget remainder entering it; the kept
+       set is then `bucket < b*` (a pure codegen filter, no sort) plus
+       the exact running-sum prefix WITHIN bucket b* only — a window
+       over ~1/B of the stratum per stratum, never the whole corpus.
+
+    Total order inside the boundary bucket is (h, key) — ties on the
+    32-bit h resolve on the key itself, matching the oracle's ORDER BY.
+    Exactness therefore requires `key` to be unique per row (it is the
+    doc id everywhere in this repo).
+    """
+    if buckets & (buckets - 1) or buckets <= 0:
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    shift = 32 - (buckets.bit_length() - 1)
+    hc, bc = "__tb_h_7c41", "__tb_bucket_7c41"
+    src = df.withColumn(hc, _keep_hash(key, salt)) \
+            .withColumn(bc, F.shiftright(F.col(hc), shift))
+    src = src.filter(F.col(stratum_col).isin(*budgets.keys()))
+
+    hist = (src.groupBy(stratum_col, bc)
+               .agg(F.sum(F.col(token_col)).alias("tok"))
+               .collect())
+    per: dict[str, list[tuple[int, int]]] = {}
+    for row in hist:
+        per.setdefault(row[stratum_col], []).append((row[bc], row["tok"]))
+    b_star: dict[str, int] = {}
+    remain: dict[str, int] = {}
+    for stratum, budget in budgets.items():
+        cum = 0
+        b_star[stratum], remain[stratum] = buckets, 0  # all buckets fit
+        for b, tok in sorted(per.get(stratum, [])):
+            if cum + tok > budget:
+                b_star[stratum], remain[stratum] = b, budget - cum
+                break
+            cum += tok
+
+    def _by_stratum(mapping: dict[str, int], default: int) -> Column:
+        out = F.lit(default)
+        for stratum, v in sorted(mapping.items()):
+            out = F.when(F.col(stratum_col) == stratum,
+                         F.lit(v)).otherwise(out)
+        return out
+
+    full = src.filter(F.col(bc) < _by_stratum(b_star, -1))
+    w = (Window.partitionBy(stratum_col)
+               .orderBy(F.col(hc), key)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary = (src.filter(F.col(bc) == _by_stratum(b_star, -1))
+                   .withColumn("__tb_cum_7c41", F.sum(F.col(token_col)).over(w))
+                   .filter(F.col("__tb_cum_7c41") <= _by_stratum(remain, 0)))
+    return full.select(*df.columns).unionByName(boundary.select(*df.columns))

@@ -1,0 +1,73 @@
+"""DSIR importance reweighting: directional goldens + exactness.
+
+A planted corpus with two vocabularies: target exemplars speak
+"pythonic" words, distractors speak disjoint noise words. Docs sharing
+the target vocabulary must outrank the distractors; feature counts are
+integer-exact; the plan crosses into Python nowhere."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.dsir import (
+    dsir_select,
+    dsir_weights,
+    hashed_feature_counts,
+)
+
+TARGETY = "def class import return yield lambda assert"
+NOISY = "zzq wvx qqj xxk jjz kqv vqk zjx"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = (
+        # 4 docs that look like the target
+        [(i, f"{TARGETY} extra{i}") for i in range(4)]
+        # 8 distractors with disjoint vocabulary
+        + [(10 + i, f"{NOISY} other{i}") for i in range(8)]
+    )
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+@pytest.fixture(scope="module")
+def target(spark):
+    return spark.createDataFrame(
+        [(100, TARGETY), (101, f"{TARGETY} more")],
+        "doc_id: long, text: string")
+
+
+def test_targetlike_docs_outrank_distractors(corpus, target):
+    w = dsir_weights(corpus, target, buckets=512)
+    rows = sorted(w.collect(), key=lambda r: -r["weight"])
+    top4 = {r["doc_id"] for r in rows[:4]}
+    assert top4 == {0, 1, 2, 3}
+    # strict separation, not a tie artifact
+    assert rows[3]["weight"] > rows[4]["weight"] + 0.5
+
+
+def test_feature_counts_exact(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id: long, text: string")
+    fb = hashed_feature_counts(df, "text", "doc_id", buckets=8)
+    # features: unigrams a,b,a + bigrams "a b","b a" = 5 total
+    assert sum(r["c"] for r in fb.collect()) == 5
+    w = dsir_weights(df, df, "text", "doc_id", buckets=8)
+    assert w.collect()[0]["n_feats"] == 5
+
+
+def test_select_exact_top_fraction(corpus, target):
+    w = dsir_weights(corpus, target, buckets=512)
+    sel = dsir_select(w, 0.25)
+    got = {r["doc_id"]: r["selected"] for r in sel.collect()}
+    assert sum(got.values()) == 3  # ceil(12 * 0.25)
+    # the 3 selected are target-like (which 3 of the 4 near-equal-weight
+    # target docs win is a tie-break detail, not asserted)
+    assert {i for i, s in got.items() if s} <= {0, 1, 2, 3}
+
+
+def test_no_python_eval(corpus, target):
+    w = dsir_weights(corpus, target, buckets=512)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,85 @@
+"""token_budget_sample: the two-pass skew-bounded plan must be
+value-identical to the naive per-stratum hash-ordered running-sum
+prefix, across bucket counts (which move the boundary bucket around)
+and edge budgets (zero, over-total, stratum absent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.sampling import _keep_hash, token_budget_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "fr", "de", "es"][i % 4], (i * 7919) % 97 + 1)
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, tok: int")
+
+
+def naive(df, budgets):
+    """Textbook formulation: full per-stratum window running sum."""
+    key = F.col("doc_id").cast("string")
+    w = (Window.partitionBy("lang")
+               .orderBy(_keep_hash(key, ""), key)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budget = F.lit(-1)
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col("lang") == s, F.lit(b)).otherwise(budget)
+    return (df.withColumn("__cum", F.sum("tok").over(w))
+              .filter(F.col("__cum") <= budget).drop("__cum"))
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+@pytest.mark.parametrize("buckets", [2, 64, 4096])
+def test_matches_naive_across_bucket_counts(docs, buckets):
+    budgets = {"en": 1500, "fr": 800, "de": 1}
+    got = token_budget_sample(docs, F.col("doc_id").cast("string"),
+                              budgets, "tok", buckets=buckets)
+    assert ids(got) == ids(naive(docs, budgets))
+
+
+def test_budget_is_a_hard_ceiling_and_prefix_is_maximal(docs):
+    budgets = {"en": 1500}
+    got = token_budget_sample(docs, F.col("doc_id").cast("string"),
+                              budgets, "tok")
+    by = got.groupBy("lang").agg(F.sum("tok").alias("t")).collect()
+    assert len(by) == 1 and by[0]["lang"] == "en"
+    # within budget, and maximal: the next doc in hash order won't fit
+    assert by[0]["t"] <= 1500
+    nxt = naive(docs, {"en": 10**9}).count() > got.count()
+    assert nxt  # there were more docs available than the budget admits
+
+
+def test_over_total_budget_keeps_whole_stratum(docs):
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    got = token_budget_sample(docs, F.col("doc_id").cast("string"),
+                              {"fr": 10**9}, "tok")
+    assert got.count() == n_fr
+
+
+def test_zero_budget_and_absent_strata_drop(docs):
+    got = token_budget_sample(docs, F.col("doc_id").cast("string"),
+                              {"en": 0, "fr": 500}, "tok")
+    langs = {r["lang"] for r in got.select("lang").distinct().collect()}
+    assert langs == {"fr"}
+
+
+def test_deterministic_across_repartition(docs):
+    budgets = {"en": 1200, "de": 700}
+    key = F.col("doc_id").cast("string")
+    a = token_budget_sample(docs, key, budgets, "tok")
+    b = token_budget_sample(docs.repartition(13, "doc_id"), key,
+                            budgets, "tok")
+    assert ids(a) == ids(b)
+
+
+def test_rejects_non_power_of_two_buckets(docs):
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, F.col("doc_id").cast("string"),
+                            {"en": 10}, "tok", buckets=100)
