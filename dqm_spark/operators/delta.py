@@ -1,0 +1,89 @@
+"""Corpus snapshot diff — the incremental-processing primitive.
+
+A 100 TB corpus is not re-filtered from scratch every crawl: the new
+snapshot is diffed against the previous one and only added/modified
+files re-enter the quality-filter pipeline (the dqm analog is the
+passive ingest loop that processes only records newer than the last
+processed state, /root/reference/src/dqm/DQMManager.cc pattern — here
+"newer" is decided by content identity, not arrival time).
+
+Semantics: keyed FULL OUTER JOIN of old vs new on the file key
+(default (repo, path)), content compared by sha256:
+
+* key only in new              -> ``added``
+* key only in old              -> ``removed``
+* both, content sha differs    -> ``modified``
+* both, content sha equal      -> ``unchanged``
+
+Scale shape: one hash-partitioned shuffle per side on the join key —
+the minimum possible for a keyed diff; neither side is broadcastable
+(both are corpus-sized). When snapshots are written with
+`sources/bucketed.py` on the same key/bucket count the exchange
+disappears entirely (bucketed scan-to-scan join). Key skew is not
+possible: (repo, path) is unique per side by contract — enforce
+upstream with `dedup.snapshot_latest` if a snapshot can carry multiple
+versions of a path. sha256 is computed in the scan projection (JVM
+codegen) so the shuffle carries a 32-byte digest + key, NOT the file
+content: diffing two 100 TB snapshots moves only key+digest bytes.
+The ``*_sha256`` columns ride along in the output for audit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: status values
+ADDED, REMOVED, MODIFIED, UNCHANGED = (
+    "added", "removed", "modified", "unchanged")
+
+
+def _digest(df: DataFrame, keys: Sequence[str], content: str, sha: str,
+            marker: str) -> DataFrame:
+    """key + content sha256 + constant presence marker. Presence must be
+    its own column: a present row with NULL content carries a NULL sha,
+    and testing sha-null for absence would misread it as added/removed.
+    With the marker, NULL content rows stay present and their status
+    derives from null-safe sha comparison (NULL vs NULL -> unchanged,
+    NULL vs digest -> modified)."""
+    return df.select(
+        *keys,
+        F.sha2(F.col(content).cast("binary"), 256).alias(sha),
+        F.lit(True).alias(marker))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys: Sequence[str] = ("repo", "path"),
+                  content: str = "content") -> DataFrame:
+    """(keys..., status, old_sha256, new_sha256) for every key present
+    in either snapshot."""
+    keys = list(keys)
+    o = _digest(old, keys, content, "old_sha256", "__old_present")
+    n = _digest(new, keys, content, "new_sha256", "__new_present")
+    j = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("__old_present").isNull(), F.lit(ADDED))
+        .when(F.col("__new_present").isNull(), F.lit(REMOVED))
+        .when(F.col("old_sha256").eqNullSafe(F.col("new_sha256")),
+              F.lit(UNCHANGED))
+        .otherwise(F.lit(MODIFIED)))
+    return j.select(*keys, status.alias("status"),
+                    "old_sha256", "new_sha256")
+
+
+def changed_files(old: DataFrame, new: DataFrame,
+                  keys: Sequence[str] = ("repo", "path"),
+                  content: str = "content") -> DataFrame:
+    """The re-processing work list: NEW-snapshot rows (full columns)
+    whose key is added or modified vs old — exactly the rows the
+    quality-filter pipeline must re-run; everything else reuses the
+    previous run's decisions. A LEFT ANTI join of new against the
+    unchanged key set: one key-shuffle of new (same cost as the diff;
+    exchange-free when both snapshots are bucketed on the key)."""
+    keys = list(keys)
+    unchanged = (snapshot_diff(old, new, keys, content)
+                 .filter(F.col("status") == UNCHANGED)
+                 .select(*keys))
+    return new.join(unchanged, on=keys, how="left_anti")

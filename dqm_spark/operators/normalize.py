@@ -1,0 +1,118 @@
+"""Unicode text normalization + mojibake repair for corpus cleaning.
+
+Scraped code corpora mix NFC/NFD encodings of the same visual text
+(macOS filesystems emit NFD, web content NFC) — two byte-distinct,
+visually-identical copies that defeat exact dedup and split n-gram
+statistics. NFC normalization folds them; mojibake repair ("Ã©" for
+"é": UTF-8 bytes mis-decoded as cp1252 once, then re-encoded) restores
+text that a crawl pipeline mangled upstream. The dqm analog is the
+frontend decode step that converts raw channel payloads into a single
+canonical typed form before any check runs
+(/root/reference/src/dqm/Frontend.cc pattern).
+
+Spark has no built-in Unicode-normalize expression, so this is one of
+the few legitimate Python crossings in the repo: an Arrow-batched
+pandas UDF over `unicodedata.normalize` — str.normalize is C-speed
+per batch, the plan stays a pure projection (zero shuffle), and the
+one UDF evaluates once even when both the normalized text and the
+change flag are consumed (struct-returning UDF, same pattern as
+models/scoring). The NFC step is oracle-exact against DuckDB's
+`nfc_normalize` (ICU and CPython implement the same Unicode
+normalization algorithm — verified byte-identical on combining-mark
+probes at both gate scales).
+
+Mojibake repair is conservative and deterministic: a row is repaired
+iff its text round-trips `cp1252-encode -> utf-8-decode` STRICTLY in
+both directions; otherwise it passes through untouched. Strictness is
+the guard: cp1252 bytes only form valid multi-byte UTF-8 in exactly
+the lead+continuation shapes mojibake produces, so ordinary non-ASCII
+text fails one of the two conversions and is never rewritten. One
+repair pass fixes single-mangled text; doubly-mangled text repairs to
+singly-mangled and needs a second pass -- at corpus scale run
+`repair_passes=2` (still batch-local, still zero shuffle).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _repair_once(s: str) -> str:
+    """One cp1252->utf-8 repair pass; returns s unchanged unless the
+    round trip is STRICT in both directions and actually rewrites.
+    Strictness is the conservatism: cp1252 bytes only form valid
+    multi-byte UTF-8 in exactly the lead+continuation shapes that
+    mojibake produces, so ordinary non-ASCII text -- an accented char
+    alone, Cyrillic, CJK -- either fails the cp1252 encode or the utf-8
+    decode. A repair that rewrites always shortens (multi-byte
+    sequences re-assemble); pure-ASCII text round-trips to itself
+    (no-op)."""
+    try:
+        return s.encode("cp1252", errors="strict") \
+                .decode("utf-8", errors="strict")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s
+
+
+def _make_nfc_udf():
+    # created lazily: pandas_udf parses its DDL return type against the
+    # ACTIVE session, so a module-level decorator would make importing
+    # this file require a running SparkContext
+    @pandas_udf("norm: string, changed: boolean")
+    def _nfc_udf(texts: pd.Series) -> pd.DataFrame:
+        out = texts.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s))
+        return pd.DataFrame({"norm": out, "changed": out.ne(texts)
+                             & texts.notna()})
+    return _nfc_udf
+
+
+def nfc_struct(content: Column) -> Column:
+    """struct(norm, changed): NFC-normalized text + did-anything-change
+    flag, one Arrow crossing for both fields. NULL stays NULL with
+    changed=false."""
+    return _make_nfc_udf()(content)
+
+
+def repair_mojibake_udf(passes: int = 1):
+    """pandas UDF string->string: conservative cp1252→utf-8 repair,
+    `passes` applications (pass 2+ only ever fires on multiply-mangled
+    text: a fully repaired string no longer round-trips)."""
+    @pandas_udf("string")
+    def _fix(texts: pd.Series) -> pd.Series:
+        def fix(s):
+            if s is None:
+                return None
+            for _ in range(passes):
+                repaired = _repair_once(s)
+                if repaired == s:
+                    break
+                s = repaired
+            return s
+        return texts.map(fix)
+    return _fix
+
+
+def with_normalized(df: DataFrame, content: str = "content",
+                    repair: bool = False, repair_passes: int = 1,
+                    out: str | None = None) -> DataFrame:
+    """Adds `<content>_nfc` (or `out`) + `<content>_nfc_changed`.
+    With repair=True the mojibake pass runs BEFORE NFC (repair operates
+    on the mangled byte shapes; NFC would not disturb them, but the
+    canonical order is repair-then-normalize). The changed flag compares
+    the final text against the ORIGINAL column (JVM-side null-safe
+    equality), so it reflects repair AND normalization. Pure projection
+    — zero shuffle, one or two Arrow crossings total."""
+    out = out or f"{content}_nfc"
+    src = F.col(content)
+    if repair:
+        src = repair_mojibake_udf(repair_passes)(src)
+    s = nfc_struct(src)
+    return (df.withColumn(out, s["norm"])
+              .withColumn(f"{out}_changed",
+                          ~F.col(out).eqNullSafe(F.col(content))))

@@ -1,0 +1,82 @@
+"""normalize.py: NFC golden (NFD folds to NFC byte-exact, flag set),
+conservative mojibake repair (fixes real mangling, refuses lookalikes),
+NULL passthrough, and the pure-projection plan guarantee. All unicode
+literals are written as explicit escapes so the test is immune to
+source-file re-encoding."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+
+from dqm_spark.operators.normalize import (
+    repair_mojibake_udf,
+    with_normalized,
+)
+
+NFC_CAFE = "caf\u00e9"             # composed e-acute
+NFD_CAFE = "cafe\u0301"            # e + combining acute
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, NFD_CAFE + " au lait"),   # NFD -> must fold to composed
+        (1, "plain ascii"),           # already NFC -> unchanged
+        (2, None),                    # NULL passthrough
+        (3, NFC_CAFE),                # already composed
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_nfc_golden_and_flags(docs):
+    out = {r["doc_id"]: (r["text_nfc"], r["text_nfc_changed"])
+           for r in with_normalized(docs, "text").collect()}
+    assert out[0] == (NFC_CAFE + " au lait", True)
+    assert out[1] == ("plain ascii", False)
+    assert out[2] == (None, False)
+    assert out[3] == (NFC_CAFE, False)
+    assert unicodedata.is_normalized("NFC", out[0][0])
+
+
+def test_mojibake_repair_golden(spark):
+    clean = NFC_CAFE + " crème"                  # café crème
+    mangled = clean.encode("utf-8").decode("cp1252")  # cafÃ© crÃ¨me
+    rows = [(0, mangled),
+            (1, "plain \u00c3 lookalike"),  # lone Ã: invalid UTF-8, refused
+            (2, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fixed = {r["doc_id"]: r["f"]
+             for r in df.select("doc_id",
+                                repair_mojibake_udf()("text").alias("f"))
+             .collect()}
+    assert fixed[0] == clean
+    assert fixed[1] == "plain \u00c3 lookalike"
+    assert fixed[2] is None
+
+
+def test_double_mangled_needs_two_passes(spark):
+    once = NFC_CAFE.encode("utf-8").decode("cp1252")
+    twice = once.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(0, twice)], "doc_id: long, text: string")
+    one = df.select(repair_mojibake_udf(1)("text").alias("f")).collect()
+    two = df.select(repair_mojibake_udf(2)("text").alias("f")).collect()
+    assert one[0]["f"] == once
+    assert two[0]["f"] == NFC_CAFE
+
+
+def test_repair_then_nfc_composes(spark):
+    df = spark.createDataFrame(
+        [(0, NFC_CAFE.encode("utf-8").decode("cp1252"))],
+        "doc_id: long, text: string")
+    out = with_normalized(df, "text", repair=True).collect()[0]
+    assert out["text_nfc"] == NFC_CAFE
+    assert out["text_nfc_changed"]
+
+
+def test_pure_projection_plan(docs):
+    plan = with_normalized(docs, "text", repair=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
