@@ -87,3 +87,33 @@ def changed_files(old: DataFrame, new: DataFrame,
                  .filter(F.col("status") == UNCHANGED)
                  .select(*keys))
     return new.join(unchanged, on=keys, how="left_anti")
+
+
+def incremental_decisions(prev_decisions: DataFrame, old: DataFrame,
+                          new: DataFrame, spark, cfg=None,
+                          keys: Sequence[str] = ("repo", "path"),
+                          content: str = "content") -> DataFrame:
+    """Quality-filter decisions for the `new` snapshot computed
+    INCREMENTALLY: the pipeline re-runs only on added+modified files,
+    unchanged keys reuse their `prev_decisions` rows verbatim, and
+    removed keys drop out. Because `pipeline.decisions` is row-local
+    and deterministic (zero-exchange plan, PLANS.md), the merged result
+    is EXACTLY equal to a full `decisions(new)` recompute — asserted
+    row-for-row in tests/test_delta.py — while the expensive scoring
+    pass touches only the changed fraction of the corpus.
+
+    Cost: the diff's key+digest shuffles, one semi-join of the previous
+    decisions table on the key (exchange-free when snapshots and the
+    decisions table are bucketed on the key), and the pipeline itself
+    over |added| + |modified| rows instead of |new|. At a 100 TB corpus
+    with a typical crawl-over-crawl churn of a few percent this is a
+    ~30-50x reduction in scored bytes."""
+    from ..pipeline import decisions
+    keys = list(keys)
+    unchanged = (snapshot_diff(old, new, keys, content)
+                 .filter(F.col("status") == UNCHANGED)
+                 .select(*keys))
+    work = new.join(unchanged, on=keys, how="left_anti")
+    fresh = decisions(work, spark, cfg=cfg)
+    kept = prev_decisions.join(unchanged, on=keys, how="left_semi")
+    return kept.unionByName(fresh)

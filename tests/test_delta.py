@@ -70,6 +70,39 @@ def test_identical_snapshots_diff_all_unchanged_and_empty_worklist(snaps):
     assert changed_files(old, old).count() == 0
 
 
+def test_incremental_decisions_equals_full_recompute(spark):
+    """The incremental merge must reproduce decisions(new) EXACTLY —
+    reused rows, re-scored rows, and removals all included."""
+    from dqm_spark.operators.delta import incremental_decisions
+    from dqm_spark.pipeline import decisions
+    from dqm_spark.synth import gen_spark
+
+    old = gen_spark(spark, 300, partitions=4)
+    # churn: drop ~1/5 of paths, modify ~1/4 of the rest, keep the rest;
+    # add fresh files by re-pathing another slice
+    h = F.crc32(F.concat_ws("/", "repo", "path"))
+    survivors = old.filter(h % 5 != 0)
+    modified = survivors.withColumn(
+        "content",
+        F.when(h % 4 == 0, F.concat(F.col("content"), F.lit("\n# touched")))
+        .otherwise(F.col("content")))
+    added = (old.filter(h % 7 == 0)
+             .withColumn("path", F.concat(F.col("path"), F.lit(".new"))))
+    new = modified.unionByName(added)
+
+    prev = decisions(old, spark)
+    inc = incremental_decisions(prev, old, new, spark)
+    full = decisions(new, spark)
+
+    key = lambda r: (r["repo"], r["path"])  # noqa: E731
+    got = {key(r): r.asDict() for r in inc.collect()}
+    want = {key(r): r.asDict() for r in full.collect()}
+    assert got == want
+    # sanity: the churn exercised every arm
+    n_old, n_new = old.count(), new.count()
+    assert n_new != n_old and added.count() > 0
+
+
 def test_shuffle_carries_digest_not_content(snaps):
     """The exchanges feeding the full-outer join must not carry the
     content column — only key + sha + marker (the whole point: diffing
