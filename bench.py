@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "events_anomaly", "repo_fork_pairs", "doc_dup_substrings",
     "events_stats_by_type", "events_value_hist",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "doc_dsir_select", "doc_token_budget_sample",
+    "doc_snapshot_diff", "doc_nfc_normalize",
 ]
 
 

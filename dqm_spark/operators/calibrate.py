@@ -1,0 +1,119 @@
+"""Fire-rate-targeted threshold calibration for the heuristic rules.
+
+The reference's thresholds are fixed constants tuned offline; on a new
+corpus (different language mix, different repo styles) the same
+constants fire at wildly different rates. This operator inverts the
+relationship: given a TARGET fire rate per rule ("max_line_length
+should drop ~2% of files"), derive the thresholds from the corpus's
+own feature distribution by quantile inversion and return a QFConfig
+carrying them. The dqm analog is the reference-map fit step that
+derives each channel's acceptance band from calibration data rather
+than hard-coding it (/root/reference/python/dqm/ fit scripts pattern).
+
+Semantics: a rule firing on `feature > t` gets t = quantile(1 - p);
+a rule firing on `feature < t` gets t = quantile(p); the two-sided
+perplexity band gets (quantile(p/2), quantile(1 - p/2)). The realized
+fire rate equals p exactly for continuous (atom-free) features and is
+<= p in the presence of atoms (ties sit ON the threshold and `>`/`<`
+are strict) — the conservative direction for a quality filter.
+
+Scale shape: one codegen'd feature projection (the same single-scan
+`with_features` the pipeline itself uses) + ONE aggregate row. With
+``exact=True`` Spark's `percentile` is used — an exact sort-based
+aggregate that holds a per-group value buffer: fine at gate scale and
+REQUIRED for the DuckDB oracle (bit-identical linear interpolation,
+proven by `events_value_percentiles`). At 100 TB pass ``exact=False``:
+`approx_percentile` (GK sketch, bounded memory, mergeable partials)
+with `accuracy` trading error for memory; the thresholds differ from
+exact by at most the sketch's rank error (1/accuracy), which moves the
+realized fire rate by the same bounded amount.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rules import with_features
+
+#: rule -> (feature column, direction); "gt" fires on feature > t
+_RULE_FEATURES = {
+    "max_line_length": ("max_line_len", "gt"),
+    "mean_line_length": ("mean_line_len", "gt"),
+    "alnum_ratio": ("alnum_ratio", "lt"),
+}
+
+
+def _q(col: str, p: float, exact: bool, accuracy: int) -> Column:
+    if exact:
+        return F.percentile(F.col(col), F.lit(p))
+    return F.approx_percentile(F.col(col), F.lit(p), F.lit(accuracy))
+
+
+def threshold_table(df: DataFrame, fire_rates: dict[str, float],
+                    content: str = "content", exact: bool = True,
+                    accuracy: int = 10000) -> DataFrame:
+    """(rule, threshold) — one row per requested rule, computed in a
+    single aggregate over the one-scan feature projection. Accepts the
+    three native numeric rules plus 'perplexity_out_of_range' (emitted
+    as two rows, '..._lo'/'..._hi'; requires a `perplexity` column —
+    i.e. a scored frame such as decisions_with_diagnostics output)."""
+    if not fire_rates:
+        return df.sparkSession.createDataFrame(
+            [], "rule: string, threshold: double")
+    for rule, p in fire_rates.items():
+        if not (0.0 < p < 1.0):
+            raise ValueError(f"fire rate for {rule} must be in (0,1): {p}")
+        if rule != "perplexity_out_of_range" and rule not in _RULE_FEATURES:
+            raise ValueError(f"unknown calibratable rule: {rule}")
+    if ("perplexity_out_of_range" in fire_rates
+            and "perplexity" not in df.columns):
+        raise ValueError(
+            "perplexity_out_of_range calibration needs a scored frame "
+            "with a `perplexity` column")
+    feats = with_features(df, content) if not all(
+        f in df.columns for f, _ in _RULE_FEATURES.values()) else df
+
+    aggs, names = [], []
+    for rule, p in sorted(fire_rates.items()):
+        if rule == "perplexity_out_of_range":
+            aggs.append(_q("perplexity", p / 2, exact, accuracy))
+            names.append(f"{rule}_lo")
+            aggs.append(_q("perplexity", 1 - p / 2, exact, accuracy))
+            names.append(f"{rule}_hi")
+        else:
+            col, direction = _RULE_FEATURES[rule]
+            q = (1 - p) if direction == "gt" else p
+            aggs.append(_q(col, q, exact, accuracy))
+            names.append(rule)
+    row = feats.agg(*[a.alias(n) for a, n in zip(aggs, names)]).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, float(row[n])) for n in names if row[n] is not None],
+        "rule: string, threshold: double")
+
+
+def calibrate_config(df: DataFrame, fire_rates: dict[str, float],
+                     content: str = "content", cfg=None,
+                     exact: bool = True, accuracy: int = 10000):
+    """QFConfig with the requested rules' thresholds replaced by the
+    corpus-derived quantile inversions; unrequested knobs keep `cfg`'s
+    (default: the reference-identical DEFAULT)."""
+    from ..qfconfig import DEFAULT
+    cfg = cfg or DEFAULT
+    vals = {r["rule"]: r["threshold"]
+            for r in threshold_table(df, fire_rates, content,
+                                     exact, accuracy).collect()}
+    kw = {}
+    if "max_line_length" in vals:
+        kw["max_line_len"] = vals["max_line_length"]
+    if "mean_line_length" in vals:
+        kw["mean_line_len"] = vals["mean_line_length"]
+    if "alnum_ratio" in vals:
+        kw["alnum_ratio_min"] = vals["alnum_ratio"]
+    if "perplexity_out_of_range_lo" in vals:
+        kw["ppl_lo"] = vals["perplexity_out_of_range_lo"]
+        kw["ppl_hi"] = vals["perplexity_out_of_range_hi"]
+    return replace(cfg, **kw)

@@ -1,0 +1,85 @@
+"""calibrate.py: quantile-inversion thresholds hit the target fire rate
+(exactly on atom-free features, conservatively under ties), the config
+round-trips into the real pipeline, and bad inputs are rejected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.calibrate import calibrate_config, threshold_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 200 docs, line lengths/densities spread so features are ~atom-free
+    rows = []
+    for i in range(200):
+        width = 20 + (i * 37) % 160          # mean/max line length spread
+        lines = ["x" * width + "." * (i % 7)] * (2 + i % 5)
+        rows.append((i, "\n".join(lines)))
+    return spark.createDataFrame(rows, "doc_id: long, content: string")
+
+
+def test_fire_rate_hits_target(docs):
+    p = 0.10
+    tbl = {r["rule"]: r["threshold"]
+           for r in threshold_table(docs, {"max_line_length": p}).collect()}
+    t = tbl["max_line_length"]
+    from dqm_spark.operators.rules import with_features
+    fired = (with_features(docs)
+             .filter(F.col("max_line_len") > t).count())
+    n = docs.count()
+    # exact-quantile inversion: at most p*n fire (strict >); ties at
+    # the threshold can only push the count DOWN (conservative), and
+    # this corpus has at most a handful of tied ranks near any cut
+    assert fired <= int(p * n)
+    assert fired >= int(p * n) - 6
+
+
+def test_lt_direction_alnum(docs):
+    p = 0.25
+    tbl = {r["rule"]: r["threshold"]
+           for r in threshold_table(docs, {"alnum_ratio": p}).collect()}
+    from dqm_spark.operators.rules import with_features
+    fired = (with_features(docs)
+             .filter(F.col("alnum_ratio") < tbl["alnum_ratio"]).count())
+    assert fired <= int(p * docs.count())
+
+
+def test_config_roundtrip_through_pipeline(docs, spark):
+    from dqm_spark.pipeline import decisions
+    cfg = calibrate_config(
+        docs, {"max_line_length": 0.15, "mean_line_length": 0.15})
+    base = calibrate_config(docs, {})
+    assert cfg.max_line_len != base.max_line_len
+    src = docs.select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id")).alias("path"),
+        F.lit("c0").alias("commit"), F.lit("python").alias("lang"),
+        "content")
+    out = decisions(src, spark, cfg=cfg)
+    n_fired = (out.filter(F.array_contains("fired_rules",
+                                           "max_line_length")).count())
+    assert 0 < n_fired <= int(0.15 * docs.count())
+
+
+def test_rejects_bad_inputs(docs):
+    with pytest.raises(ValueError):
+        threshold_table(docs, {"max_line_length": 1.5})
+    with pytest.raises(ValueError):
+        threshold_table(docs, {"no_such_rule": 0.1})
+    with pytest.raises(ValueError):
+        threshold_table(docs, {"perplexity_out_of_range": 0.1})
+
+
+def test_approx_close_to_exact(docs):
+    rates = {"max_line_length": 0.2, "alnum_ratio": 0.2}
+    ex = {r["rule"]: r["threshold"]
+          for r in threshold_table(docs, rates, exact=True).collect()}
+    ap = {r["rule"]: r["threshold"]
+          for r in threshold_table(docs, rates, exact=False,
+                                   accuracy=10000).collect()}
+    for k in ex:
+        denom = max(abs(ex[k]), 1e-9)
+        assert abs(ex[k] - ap[k]) / denom < 0.05, (k, ex[k], ap[k])
