@@ -75,3 +75,41 @@ def metrics(decisions_df: DataFrame, run_id: str) -> DataFrame:
             "ppl_p50", "ppl_p90", "ppl_p99", "langid_hist",
         )
     )
+
+
+def rule_attribution(decisions_df: DataFrame,
+                     drop_rules: tuple[str, ...] = C.DROP_RULES
+                     ) -> DataFrame:
+    """Per-rule drop attribution: (rule, n_fired, n_dropped_with,
+    n_exclusive) where
+
+    * n_fired        — docs whose fired_rules contains the rule,
+    * n_dropped_with — of those, docs that were dropped (keep=false),
+    * n_exclusive    — dropped docs where this rule is the ONLY drop
+                       rule fired: the marginal docs this rule alone
+                       removes — delete the rule and exactly these come
+                       back. The gap n_dropped_with - n_exclusive is
+                       overlap with other rules (shared blame).
+
+    The what-if answer threshold tuning needs (calibrate.py picks the
+    thresholds; this reports what each rule is buying), and the dqm
+    analog of the per-algorithm alert counters the reference keeps per
+    monitoring module.
+
+    Scale shape: one bounded explode (≤ |rules| rows per doc) into a
+    ~12-key hash aggregate — partial aggregation collapses each map
+    task to ≤ |rules| rows before the shuffle, so the hot keys ARE the
+    point and cost nothing."""
+    n_drop = F.size(F.array_intersect(
+        "fired_rules", F.array(*[F.lit(r) for r in drop_rules])))
+    ex = decisions_df.select(
+        F.explode("fired_rules").alias("rule"),
+        F.col("keep"), n_drop.alias("__n_drop"))
+    dropped = (~F.col("keep")).cast("long")
+    exclusive = ((~F.col("keep")) & (F.col("__n_drop") == 1)
+                 & F.col("rule").isin(*drop_rules)).cast("long")
+    return ex.groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_fired"),
+        F.sum(dropped).alias("n_dropped_with"),
+        F.sum(exclusive).alias("n_exclusive"),
+    )

@@ -90,3 +90,33 @@ def test_lineage_sums(setup, spark):
     assert lin["kept"].sum() == int(golden["keep"].sum())
     assert lin["dropped"].sum() == N - int(golden["keep"].sum())
     assert (lin["attempt"] == 1).all()
+
+
+def test_rule_attribution_planted(spark):
+    """Hand-built decisions frame where exclusive/shared/warn-only blame
+    is known exactly."""
+    from pyspark.sql import functions as F
+
+    from dqm_spark.operators.metrics import rule_attribution
+
+    rows = [
+        # dropped, null_byte alone -> exclusive for null_byte
+        (False, ["null_byte"]),
+        # dropped, two drop rules share blame -> exclusive for neither
+        (False, ["null_byte", "alnum_ratio"]),
+        # kept, warn-only rule fired
+        (True, ["short_content"]),
+        # dropped, drop rule + warn rule -> exclusive for the drop rule
+        (False, ["alnum_ratio", "short_content"]),
+        # kept, nothing fired
+        (True, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "keep: boolean, fired_rules: array<string>")
+    got = {r["rule"]: (r["n_fired"], r["n_dropped_with"], r["n_exclusive"])
+           for r in rule_attribution(df).collect()}
+    assert got == {
+        "null_byte": (2, 2, 1),
+        "alnum_ratio": (2, 2, 1),
+        "short_content": (2, 1, 0),
+    }
