@@ -73,8 +73,12 @@ def threshold_table(df: DataFrame, fire_rates: dict[str, float],
         raise ValueError(
             "perplexity_out_of_range calibration needs a scored frame "
             "with a `perplexity` column")
-    feats = with_features(df, content) if not all(
-        f in df.columns for f, _ in _RULE_FEATURES.values()) else df
+    # compute the feature projection only if a requested NATIVE rule's
+    # feature column is absent — a perplexity-only calibration over a
+    # decisions frame (no content column) must not touch with_features
+    need = {_RULE_FEATURES[r][0] for r in fire_rates
+            if r in _RULE_FEATURES}
+    feats = df if need <= set(df.columns) else with_features(df, content)
 
     aggs, names = [], []
     for rule, p in sorted(fire_rates.items()):

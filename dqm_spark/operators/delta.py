@@ -91,10 +91,10 @@ def changed_files(old: DataFrame, new: DataFrame,
 
 def incremental_decisions(prev_decisions: DataFrame, old: DataFrame,
                           new: DataFrame, spark, cfg=None,
-                          keys: Sequence[str] = ("repo", "path"),
-                          content: str = "content") -> DataFrame:
+                          keys: Sequence[str] = ("repo", "path")
+                          ) -> DataFrame:
     """Quality-filter decisions for the `new` snapshot computed
-    INCREMENTALLY: the pipeline re-runs only on added+modified files,
+    INCREMENTALLY: the pipeline re-runs only on added+changed files,
     unchanged keys reuse their `prev_decisions` rows verbatim, and
     removed keys drop out. Because `pipeline.decisions` is row-local
     and deterministic (zero-exchange plan, PLANS.md), the merged result
@@ -102,15 +102,36 @@ def incremental_decisions(prev_decisions: DataFrame, old: DataFrame,
     row-for-row in tests/test_delta.py — while the expensive scoring
     pass touches only the changed fraction of the corpus.
 
+    "Unchanged" here is decided over ALL non-key columns, not just the
+    content bytes: decisions depend on metadata too (`lang` drives the
+    langid_mismatch rule; `commit`/`lang` ride into the output rows),
+    so a file whose content is identical but whose declared lang or
+    commit moved MUST be re-scored or the equality guarantee breaks.
+    The row fingerprint is sha256(to_json(struct(non-key cols))) —
+    null-safe and column-order-pinned — fed through the same
+    digest-only snapshot_diff shuffle.
+
     Cost: the diff's key+digest shuffles, one semi-join of the previous
     decisions table on the key (exchange-free when snapshots and the
     decisions table are bucketed on the key), and the pipeline itself
-    over |added| + |modified| rows instead of |new|. At a 100 TB corpus
+    over |added| + |changed| rows instead of |new|. At a 100 TB corpus
     with a typical crawl-over-crawl churn of a few percent this is a
     ~30-50x reduction in scored bytes."""
     from ..pipeline import decisions
     keys = list(keys)
-    unchanged = (snapshot_diff(old, new, keys, content)
+    fp_cols = [c for c in new.columns if c not in keys]
+    missing = [c for c in fp_cols if c not in old.columns]
+    if missing or set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"old/new snapshot schemas differ: {old.columns} vs "
+            f"{new.columns} — the row fingerprint needs matching columns")
+    fp = "__row_fp_7c41"
+
+    def _with_fp(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            fp, F.to_json(F.struct(*[F.col(c) for c in fp_cols])))
+
+    unchanged = (snapshot_diff(_with_fp(old), _with_fp(new), keys, fp)
                  .filter(F.col("status") == UNCHANGED)
                  .select(*keys))
     work = new.join(unchanged, on=keys, how="left_anti")

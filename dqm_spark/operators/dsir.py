@@ -49,8 +49,6 @@ Scale shape (100 TB corpus, B ~ 10^4 buckets):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -133,11 +131,21 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
 def dsir_select(weights: DataFrame, frac: float = 0.25,
                 id_col: str = "doc_id") -> DataFrame:
     """Adds ``selected``: exact top-``frac`` by (weight desc, id asc).
-    Deterministic tie-break; the global rank window is GATE-SCALE
-    machinery — at corpus scale pass the weight table to a threshold
-    filter instead (see module docstring)."""
-    n = weights.count()
-    k = math.ceil(n * frac)
+    Deterministic tie-break. k = ceil(n * frac) is derived IN-PLAN
+    (count over the same global window that ranks), so the expensive
+    dsir_weights lineage executes once — a driver-side ``.count()``
+    would run the whole explode/agg pipeline a second time. The global
+    rank window is GATE-SCALE machinery anyway — at corpus scale pass
+    the weight table to a threshold filter instead (module docstring);
+    ceil(n*frac) uses the same double arithmetic as the DuckDB oracle's
+    ``ceil(count(*) * frac)``, so the cut index is engine-identical."""
     w = Window.orderBy(F.col("weight").desc(), F.col(id_col))
+    w_all = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
     return (weights
-            .withColumn("selected", F.row_number().over(w) <= F.lit(k)))
+            .withColumn(
+                "selected",
+                F.row_number().over(w)
+                <= F.ceil(F.count(F.lit(1)).over(w_all) * F.lit(frac))
+                   .cast("long"))
+            )

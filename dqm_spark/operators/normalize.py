@@ -12,11 +12,11 @@ canonical typed form before any check runs
 
 Spark has no built-in Unicode-normalize expression, so this is one of
 the few legitimate Python crossings in the repo: an Arrow-batched
-pandas UDF over `unicodedata.normalize` — str.normalize is C-speed
-per batch, the plan stays a pure projection (zero shuffle), and the
-one UDF evaluates once even when both the normalized text and the
-change flag are consumed (struct-returning UDF, same pattern as
-models/scoring). The NFC step is oracle-exact against DuckDB's
+pandas UDF over `unicodedata.normalize` — C-speed per batch, and the
+plan stays a pure projection (zero shuffle); the change flag is
+derived JVM-side from null-safe equality against the original column,
+so the UDF itself stays a plain string->string map. The NFC step is
+oracle-exact against DuckDB's
 `nfc_normalize` (ICU and CPython implement the same Unicode
 normalization algorithm — verified byte-identical on combining-mark
 probes at both gate scales).
@@ -37,7 +37,7 @@ from __future__ import annotations
 import unicodedata
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -59,24 +59,16 @@ def _repair_once(s: str) -> str:
         return s
 
 
-def _make_nfc_udf():
-    # created lazily: pandas_udf parses its DDL return type against the
-    # ACTIVE session, so a module-level decorator would make importing
-    # this file require a running SparkContext
-    @pandas_udf("norm: string, changed: boolean")
-    def _nfc_udf(texts: pd.Series) -> pd.DataFrame:
-        out = texts.map(
+def nfc_normalize_udf():
+    """pandas UDF string->string: Unicode NFC normalization. Created
+    lazily: pandas_udf parses its DDL return type against the ACTIVE
+    session, so a module-level decorator would make importing this file
+    require a running SparkContext. NULL passes through."""
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
             lambda s: None if s is None else unicodedata.normalize("NFC", s))
-        return pd.DataFrame({"norm": out, "changed": out.ne(texts)
-                             & texts.notna()})
-    return _nfc_udf
-
-
-def nfc_struct(content: Column) -> Column:
-    """struct(norm, changed): NFC-normalized text + did-anything-change
-    flag, one Arrow crossing for both fields. NULL stays NULL with
-    changed=false."""
-    return _make_nfc_udf()(content)
+    return _nfc
 
 
 def repair_mojibake_udf(passes: int = 1):
@@ -112,7 +104,6 @@ def with_normalized(df: DataFrame, content: str = "content",
     src = F.col(content)
     if repair:
         src = repair_mojibake_udf(repair_passes)(src)
-    s = nfc_struct(src)
-    return (df.withColumn(out, s["norm"])
+    return (df.withColumn(out, nfc_normalize_udf()(src))
               .withColumn(f"{out}_changed",
                           ~F.col(out).eqNullSafe(F.col(content))))

@@ -125,18 +125,23 @@ def token_budget_sample(df: DataFrame, key: Column, budgets: dict[str, int],
     Total order inside the boundary bucket is (h, key) — ties on the
     32-bit h resolve on the key itself, matching the oracle's ORDER BY.
     Exactness therefore requires `key` to be unique per row (it is the
-    doc id everywhere in this repo).
+    doc id everywhere in this repo). NULL token counts contribute 0 to
+    every running total (the row itself is still kept or cut by its
+    hash position), keeping the driver walk and the window total-order
+    well-defined where a bare SUM would go NULL.
     """
     if buckets & (buckets - 1) or buckets <= 0:
         raise ValueError(f"buckets must be a power of two, got {buckets}")
     shift = 32 - (buckets.bit_length() - 1)
     hc, bc = "__tb_h_7c41", "__tb_bucket_7c41"
+    tc = "__tb_tok_7c41"
     src = df.withColumn(hc, _keep_hash(key, salt)) \
-            .withColumn(bc, F.shiftright(F.col(hc), shift))
+            .withColumn(bc, F.shiftright(F.col(hc), shift)) \
+            .withColumn(tc, F.coalesce(F.col(token_col), F.lit(0)))
     src = src.filter(F.col(stratum_col).isin(*budgets.keys()))
 
     hist = (src.groupBy(stratum_col, bc)
-               .agg(F.sum(F.col(token_col)).alias("tok"))
+               .agg(F.sum(F.col(tc)).alias("tok"))
                .collect())
     per: dict[str, list[tuple[int, int]]] = {}
     for row in hist:
@@ -164,6 +169,6 @@ def token_budget_sample(df: DataFrame, key: Column, budgets: dict[str, int],
                .orderBy(F.col(hc), key)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     boundary = (src.filter(F.col(bc) == _by_stratum(b_star, -1))
-                   .withColumn("__tb_cum_7c41", F.sum(F.col(token_col)).over(w))
+                   .withColumn("__tb_cum_7c41", F.sum(F.col(tc)).over(w))
                    .filter(F.col("__tb_cum_7c41") <= _by_stratum(remain, 0)))
     return full.select(*df.columns).unionByName(boundary.select(*df.columns))

@@ -73,6 +73,19 @@ def test_rejects_bad_inputs(docs):
         threshold_table(docs, {"perplexity_out_of_range": 0.1})
 
 
+def test_ppl_only_on_scored_frame_without_content(spark):
+    """Perplexity-band calibration over a frame that has ONLY scorer
+    output (no content, no feature columns) must not touch
+    with_features — the decisions schema is exactly this shape."""
+    df = spark.createDataFrame([(float(i),) for i in range(101)],
+                               "perplexity: double")
+    tbl = {r["rule"]: r["threshold"]
+           for r in threshold_table(
+               df, {"perplexity_out_of_range": 0.2}).collect()}
+    assert tbl["perplexity_out_of_range_lo"] == 10.0   # q(0.1) of 0..100
+    assert tbl["perplexity_out_of_range_hi"] == 90.0   # q(0.9)
+
+
 def test_approx_close_to_exact(docs):
     rates = {"max_line_length": 0.2, "alnum_ratio": 0.2}
     ex = {r["rule"]: r["threshold"]

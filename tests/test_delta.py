@@ -85,7 +85,11 @@ def test_incremental_decisions_equals_full_recompute(spark):
     modified = survivors.withColumn(
         "content",
         F.when(h % 4 == 0, F.concat(F.col("content"), F.lit("\n# touched")))
-        .otherwise(F.col("content")))
+        .otherwise(F.col("content"))).withColumn(
+        # metadata-only churn: identical content, re-declared lang —
+        # MUST be re-scored (lang drives langid_mismatch), not reused
+        "lang",
+        F.when(h % 9 == 0, F.lit("markdown")).otherwise(F.col("lang")))
     added = (old.filter(h % 7 == 0)
              .withColumn("path", F.concat(F.col("path"), F.lit(".new"))))
     new = modified.unionByName(added)

@@ -79,6 +79,19 @@ def test_deterministic_across_repartition(docs):
     assert ids(a) == ids(b)
 
 
+def test_null_tokens_count_as_zero(spark):
+    """NULL token counts contribute 0 — the row still participates by
+    hash position, and the driver walk must not crash on a NULL bucket
+    sum (a lone NULL-token row owns its bucket at high bucket counts)."""
+    rows = [(i, "en", None if i % 3 == 0 else 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, tok: int")
+    got = token_budget_sample(df, F.col("doc_id").cast("string"),
+                              {"en": 50}, "tok", buckets=4096)
+    n_nonnull = sum(1 for r in got.collect() if r["tok"] is not None)
+    assert n_nonnull == 10  # 10 x 5 == budget
+    assert got.count() >= 10  # plus any NULL rows inside the kept prefix
+
+
 def test_rejects_non_power_of_two_buckets(docs):
     with pytest.raises(ValueError):
         token_budget_sample(docs, F.col("doc_id").cast("string"),
