@@ -1,0 +1,82 @@
+"""Hashed text embeddings — the cheap, model-free text featurizer.
+
+Signed feature hashing (Weinberger et al. 2009, "Feature Hashing for
+Large Scale Multitask Learning" — public method): each word token
+hashes to one of `dim` slots with a ±1 sign drawn from an independent
+hash bit, the doc's vector is the signed count sum, optionally L2
+normalized. The sign hash makes collision noise zero-mean, so cosine
+between hashed vectors is an unbiased estimate of vocabulary-weighted
+similarity. This closes the loop between the text tables and the
+vector stack: `hashed_embedding` output feeds `similarity.py`
+(brute-force/LSH/IVF/PQ top-k), `dedup.embedding_cosine_dedup`, and
+`decontam.semantic_decontaminate` with no trained model and no
+external artifacts.
+
+dqm analog: the fixed channel-map projection that turns a raw record
+into its per-plane feature vector before any monitor runs
+(/root/reference/include/dqm/ChannelMap.hpp pattern) — a deterministic,
+data-independent embedding.
+
+Scale shape: ZERO shuffle and zero Python — the whole embedding is one
+codegen'd projection. Tokens come from `regexp_extract_all`; the
+per-doc accumulation is a higher-order `aggregate` over an array
+accumulator (O(dim) per token inside codegen — dim 64 × ~10² tokens
+per doc is trivially CPU-bound, no allocation per step beyond the
+accumulator). Slot and sign both derive from the md5 hex prefix
+(slot = 32-bit prefix mod dim, sign = parity of hex nibble 9), which
+DuckDB reproduces verbatim — the oracle compares the exact integer
+slot sums before normalization; the float normalization is checked by
+a unit test instead (libm sqrt is engine-stable but the comparison
+policy here is: oracle integers, pytest floats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WORD_PATTERN as WORD_RE
+
+
+def _slot(g: Column, dim: int) -> Column:
+    return (F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            .cast("long") % dim).cast("int")
+
+
+def _sign(g: Column) -> Column:
+    # parity of md5 hex nibble 9 — independent of the slot prefix
+    return F.when(
+        F.conv(F.substring(F.md5(g), 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hashed_embedding_col(content: Column, dim: int = 64,
+                         normalize: bool = True) -> Column:
+    """array<double> length `dim`: signed hashed word-count embedding.
+    All-zero (not NULL) for wordless text; NULL for NULL text. With
+    normalize=True the vector is L2-unit (an all-zero vector stays
+    all-zero rather than dividing by zero)."""
+    words = F.regexp_extract_all(content, F.lit(WORD_RE), F.lit(0))
+    pairs = F.transform(
+        words, lambda w: F.struct(_slot(w, dim).alias("s"),
+                                  _sign(w).alias("g")))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    vec = F.aggregate(
+        pairs, zero,
+        lambda acc, p: F.transform(
+            acc, lambda v, i: v + F.when(i == p["s"], p["g"])
+                                   .otherwise(F.lit(0.0))))
+    if not normalize:
+        return vec
+    norm = F.sqrt(F.aggregate(
+        vec, F.lit(0.0), lambda a, v: a + v * v))
+    return F.when(norm > 0, F.transform(vec, lambda v: v / norm)) \
+            .otherwise(vec)
+
+
+def with_hashed_embedding(df: DataFrame, content: str = "content",
+                          dim: int = 64, normalize: bool = True,
+                          out: str = "embedding") -> DataFrame:
+    """Adds `out` = hashed embedding of `content`. Pure projection."""
+    return df.withColumn(
+        out, hashed_embedding_col(F.col(content), dim, normalize))

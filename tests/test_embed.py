@@ -1,0 +1,99 @@
+"""embed.py: hand-derived slot/sign golden, zero-mean sign property,
+normalization, NULL/empty semantics, ANN-stack composition, and the
+pure-projection plan guarantee."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.embed import with_hashed_embedding
+
+DIM = 16
+
+
+def py_embed(text: str, dim: int = DIM, normalize: bool = True):
+    """Independent reference: same md5 slot/sign derivation in pure
+    Python."""
+    import re
+    vec = [0.0] * dim
+    for w in re.findall(r"[A-Za-z0-9_]+", text):
+        h = hashlib.md5(w.encode()).hexdigest()
+        slot = int(h[:8], 16) % dim
+        sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        vec[slot] += sign
+    if normalize:
+        n = math.sqrt(sum(v * v for v in vec))
+        if n > 0:
+            vec = [v / n for v in vec]
+    return vec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, "def foo import bar return foo"),
+            (1, "zzz qqq zzz"),
+            (2, ""),
+            (3, None),
+            (4, "completely different vocabulary here")]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_matches_pure_python_reference(docs):
+    got = {r["doc_id"]: r["embedding"]
+           for r in with_hashed_embedding(docs, "text", DIM).collect()}
+    for i, text in [(0, "def foo import bar return foo"),
+                    (1, "zzz qqq zzz"),
+                    (4, "completely different vocabulary here")]:
+        want = py_embed(text)
+        assert got[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_empty_and_null(docs):
+    got = {r["doc_id"]: r["embedding"]
+           for r in with_hashed_embedding(docs, "text", DIM).collect()}
+    assert got[2] == [0.0] * DIM
+    assert got[3] is None
+
+
+def test_unit_norm(docs):
+    for r in with_hashed_embedding(docs, "text", DIM).collect():
+        v = r["embedding"]
+        if v is None or all(x == 0.0 for x in v):
+            continue
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_identical_text_identical_vector(spark):
+    df = spark.createDataFrame(
+        [(0, "same words here"), (1, "same words here")],
+        "doc_id: long, text: string")
+    a, b = [r["embedding"]
+            for r in with_hashed_embedding(df, "text", DIM).collect()]
+    assert a == b
+
+
+def test_feeds_ann_stack(spark):
+    """Embedding output composes with brute-force cosine top-k: a doc's
+    nearest neighbor by hashed cosine is its own near-clone."""
+    from dqm_spark.operators.similarity import brute_force_topk
+    rows = [(0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta epsilon"),   # near-clone of 0
+            (2, "totally unrelated words qqq zzz")]
+    df = with_hashed_embedding(
+        spark.createDataFrame(rows, "vec_id: long, text: string"),
+        "text", 64).select("vec_id", "embedding")
+    got = brute_force_topk(df.filter("vec_id != 0"),
+                           df.filter("vec_id = 0"), k=1)
+    row = got.collect()[0]
+    assert row["neighbor_id"] == 1  # nearest is the near-clone
+
+
+def test_pure_projection_plan(docs):
+    plan = with_hashed_embedding(docs, "text", DIM)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
