@@ -871,3 +871,46 @@ def near_dup_clusters(df: DataFrame, content: str, id_col: str,
     null_singletons = df.where(F.col(content).isNull()).select(
         F.col(id_col), F.col(id_col).cast("long").alias("component"))
     return clustered.unionByName(null_singletons)
+
+
+def cluster_elect(df: DataFrame, content: str, id_col: str,
+                  score, threshold: float = 0.9) -> DataFrame:
+    """(id_col, component, rep_id, keep) — near-dup clusters with a
+    QUALITY-AWARE representative election: within each cluster the row
+    with the highest `score` wins (ties -> min id), instead of the
+    arbitrary min-id keeper the plain dedup queries use. This is the
+    retention policy real corpus curation wants: when a template family
+    collapses to one survivor, keep the best-scoring variant, not the
+    one that happened to get the smallest id.
+
+    `score` is a Column over `df`'s columns; it must be DETERMINISTIC
+    and exactly reproducible (round floating scores to a fixed precision
+    before passing them in, so cross-engine/cross-run comparisons agree
+    on ties — the registry query uses round(quality, 4)).
+
+    Scale shape: cluster assignment is `near_dup_clusters` (bucketed
+    LSH candidates, tiered verify, iterative-contraction CC — no O(N²)
+    step). The election adds one hash agg keyed by component (map-side
+    partial: a 10⁹-member boilerplate cluster collapses to one partial
+    per task before the shuffle) and one join-back on component, whose
+    only skew is the hot component itself — row-per-member lookups that
+    AQE's skew-join split handles, never a pair enumeration.
+
+    dqm analog: the reference keeps ONE representative waveform per
+    channel-group, chosen by a fitness rule rather than arrival order
+    (/root/reference/src/ChannelMap.cpp group canonicalization)."""
+    clusters = near_dup_clusters(df, content, id_col, threshold=threshold)
+    scored = df.select(F.col(id_col), score.alias("__score"))
+    lab = clusters.join(scored, id_col)
+    # argmax via struct-max: (score, -id) orders by score, tie -> min id
+    best = (
+        lab.groupBy("component")
+        .agg(F.max(F.struct(F.col("__score").alias("s"),
+                            (-F.col(id_col)).alias("negid"))).alias("b"))
+        .select("component", (-F.col("b.negid")).cast("long").alias("rep_id"))
+    )
+    return (
+        lab.join(best, "component")
+        .select(F.col(id_col), "component", "rep_id",
+                (F.col(id_col) == F.col("rep_id")).alias("keep"))
+    )

@@ -175,3 +175,37 @@ def test_semantic_zero_shuffle_plan(spark):
     assert "Exchange" not in plan, plan
     assert plan.count("ArrowEvalPython") <= 1
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_profile_longest_run_and_fraction(spark):
+    from dqm_spark.operators.decontam import decontaminate_profile
+
+    bench_sentence = "a b c d e f g h i j k l"  # 12 words -> 5 8-grams
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # verbatim 12-word benchmark span inside filler: positions of
+            # the 5 matched 8-grams are consecutive -> longest_run = 5
+            "x1 x2 x3 " + bench_sentence + " y1 y2 y3",
+            # two SEPARATED verbatim 8-word spans (each exactly one
+            # 8-gram): 2 scattered hits, longest_run = 1
+            "a b c d e f g h z1 z2 z3 z4 z5 z6 z7 z8 e f g h i j k l",
+            # no overlap
+            "p q r s t u v w xx yy zz",
+        ],
+    })
+    bench = pd.DataFrame({"doc_id": [100], "text": [bench_sentence]})
+    out = (decontaminate_profile(spark.createDataFrame(corpus),
+                                 spark.createDataFrame(bench),
+                                 "text", "doc_id", "text", n=8)
+           .toPandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [0, 1]  # doc 2 absent (no hits)
+    d0 = out.loc[0]
+    # doc 0: 18 words -> 11 grams; 5 matched, consecutive
+    assert d0["n_grams"] == 11 and d0["n_pos_hits"] == 5
+    assert d0["longest_run"] == 5
+    assert abs(d0["hit_frac"] - round(5 / 11, 4)) < 1e-9
+    d1 = out.loc[1]
+    # doc 1: 24 words -> 17 grams; 2 matched, separated
+    assert d1["n_grams"] == 17 and d1["n_pos_hits"] == 2
+    assert d1["longest_run"] == 1

@@ -432,3 +432,44 @@ def test_near_dup_clusters_max_bucket_guardrail(spark):
     capped = near_dup_clusters(docs, "text", "doc_id", threshold=0.9,
                                max_bucket=1).toPandas()
     assert list(capped.sort_values("doc_id")["component"]) == list(range(8))
+
+
+def test_cluster_elect_best_quality_kept(spark):
+    """Planted near-dup family: the election keeps the highest-score
+    member (not min id), ties break to min id, singletons keep
+    themselves."""
+    from pyspark.sql import functions as F
+
+    from dqm_spark.operators.dedup import cluster_elect
+
+    base = ("def handler(request):\n    payload = parse(request)\n"
+            "    return render(payload, status=200)\n" * 6)
+    rows = [
+        # cluster {0,1,2}: near-identical; score picks doc 1
+        (0, base + "# tail zero"),
+        (1, base + "# tail one!"),
+        (2, base + "# tail twoo"),
+        # singleton
+        (3, "completely unrelated text about parquet row groups"),
+        # cluster {4,5}: identical -> equal scores, tie -> min id 4
+        (4, base + "# same tail"),
+        (5, base + "# same tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    score = (F.when(F.col("doc_id") == 1, F.lit(9.0))
+             .when(F.col("doc_id").isin(0, 2), F.lit(1.0))
+             .otherwise(F.lit(5.0)))
+    out = (cluster_elect(df, "text", "doc_id", score, threshold=0.9)
+           .toPandas().set_index("doc_id").sort_index())
+    assert len(out) == 6
+    assert out.loc[0, "rep_id"] == 1 and not out.loc[0, "keep"]
+    assert out.loc[1, "rep_id"] == 1 and out.loc[1, "keep"]
+    assert out.loc[2, "rep_id"] == 1 and not out.loc[2, "keep"]
+    assert out.loc[3, "rep_id"] == 3 and out.loc[3, "keep"]
+    # identical contents collapse to one digest rep; equal scores tie
+    # to the min id
+    assert out.loc[4, "rep_id"] == 4 and out.loc[4, "keep"]
+    assert out.loc[5, "rep_id"] == 4 and not out.loc[5, "keep"]
+    # exactly one keeper per component
+    keepers = out.groupby("component")["keep"].sum()
+    assert (keepers == 1).all()
