@@ -26,19 +26,26 @@ Scale shape (100 TB corpus, ~10^13 word positions):
 
 * one corpus-wide shuffle of (gram-key, doc, pos) tuples is INHERENT to
   exact substring dedup — every occurrence must meet its twins once.
-  The groupBy is a partial (map-side) aggregate, so a hot gram (an MIT
-  license line in 10^8 files) collapses to one row per map task before
-  the wire; no reduce task ever materializes the occurrence list —
-  count + min(struct(id, pos)) are both partial-aggregatable.
-* ``hash_keys=True`` (the 100 TB path) shuffles xxhash64(gram) 8-byte
-  keys instead of gram strings, cutting shuffle bytes by ~10x for
-  k=8..50 word grams. Collision cost: two distinct grams sharing a
-  64-bit key are falsely merged with p ≈ n²/2⁶⁵ per gram pair —
-  at 10^13 grams that is a ~0.3% chance of ONE false span in the whole
-  corpus. Default False so the small-scale oracle is definitionally
-  exact.
-* the join-back of occurrences to the duplicated-gram set is a plain
-  equi-join on the same key; AQE skew-split covers hot grams on the
+  That shuffle carries 8-BYTE ROLLING HASHES, never gram strings: each
+  word is xxhash64'd once and a k-gram's key is the k-1-step xxhash64
+  chain over adjacent word hashes (k-1 linear zip_with passes — no
+  per-position string build, no O(n·k) element gathers). The groupBy
+  is a partial (map-side) aggregate, so a hot gram (an MIT license
+  line in 10^8 files) collapses to one row per map task before the
+  wire; no reduce task ever materializes the occurrence list.
+* exactness is RESTORED by a verify recount (same pattern as
+  sketch.py's heavy hitters): positions whose 64-bit key is duplicated
+  become CANDIDATES (a superset of the true duplicated positions —
+  equal grams always share a key), their true gram strings are rebuilt
+  doc-locally for candidate docs only, and a second aggregate keyed by
+  the ACTUAL gram recounts + elects the keeper. A 64-bit collision
+  only costs a few spurious candidate rows in the (tiny) verify stage;
+  it cannot flag a unique span. Default path: definitionally exact.
+* ``hash_keys=True`` skips the verify recount and trusts the 64-bit
+  keys outright (keeper elected per key) — the 100 TB fast path when
+  a ~n²/2⁶⁵ false-merge probability is acceptable.
+* the join-back of occurrences to the duplicated-key set is a plain
+  equi-join on the 8-byte key; AQE skew-split covers hot grams on the
   probe side (occurrences of one gram can be 10^8 rows, but they carry
   no payload besides (doc, pos)).
 * everything after the join-back is per-document bounded: interval
@@ -51,38 +58,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cachepool import CachePool
 
-def word_grams_with_pos(col, k: int):
-    """array<struct<pos:int, gram:string>> of overlapping k-word grams
-    (words = maximal non-whitespace runs; < k words yields []). pos is
-    the 0-based index of the gram's first word."""
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
-    cnt = F.size(words) - (k - 1)
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.struct(
-                (i - 1).cast("int").alias("pos"),
-                F.array_join(F.slice(words, i, k), " ").alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+_POOL = CachePool()
+clear_substring_cache = _POOL.clear
 
 
-def _occurrences(df: DataFrame, content: str, id_col: str, k: int,
-                 hash_keys: bool) -> DataFrame:
-    """(id, pos, key) — one row per k-gram position in the corpus.
-    key = the gram string (exact) or xxhash64(gram) (scale path)."""
-    occ = (
-        df.select(F.col(id_col),
-                  F.explode(word_grams_with_pos(F.col(content), k))
-                  .alias("pg"))
-        .select(F.col(id_col), F.col("pg.pos").alias("pos"),
-                F.col("pg.gram").alias("gram"))
-    )
-    key = F.xxhash64("gram") if hash_keys else F.col("gram")
-    return occ.select(F.col(id_col), "pos", key.alias("__key"))
+def _words(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def _rolling_keys(col, k: int):
+    """array<bigint> of 64-bit rolling k-gram keys (one per 0-based word
+    position; < k words yields []). Key = xxhash64 chained over the k
+    per-word xxhash64 values — built with k-1 linear zip_with passes,
+    never a per-position string or an O(n·k) element gather (measured
+    10x the transform-with-k-element_at formulation and 1.5x the
+    gram-string build at sf0.1)."""
+    wh = F.transform(_words(col), lambda w: F.xxhash64(w))
+    n = F.size(wh)
+    empty = F.array().cast("array<bigint>")
+    arr = wh
+    for j in range(1, k):
+        ln = n - j
+        arr = F.when(
+            ln >= 1,
+            F.zip_with(F.slice(arr, 1, ln), F.slice(wh, 1 + j, ln),
+                       lambda a, b: F.xxhash64(a, b)),
+        ).otherwise(empty)
+    return F.coalesce(arr, empty)
+
+
+def _int_occurrences(df: DataFrame, content: str, id_col: str,
+                     k: int) -> DataFrame:
+    """(id, pos:int, h:bigint) — one row per k-gram position."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_rolling_keys(F.col(content), k)).alias("pos", "h"))
 
 
 def _dup_flagged(df: DataFrame, content: str, id_col: str, k: int,
@@ -90,18 +102,63 @@ def _dup_flagged(df: DataFrame, content: str, id_col: str, k: int,
     """Occurrences of corpus-duplicated grams, with the keeper elected:
     (id, pos, __key, keeper:struct<kid,kpos>). A gram is duplicated iff
     it occurs >= 2 times corpus-wide (across OR within docs); keeper =
-    lexicographic min (id, pos) — both count and min(struct) partial-
-    aggregate map-side, so hot grams never concentrate on one task."""
-    occ = _occurrences(df, content, id_col, k, hash_keys)
-    dup = (
-        occ.groupBy("__key")
-        .agg(F.count("*").alias("__c"),
+    lexicographic min (id, pos) — count and min(struct) both partial-
+    aggregate map-side, so hot grams never concentrate on one task.
+
+    Default path is the exact two-phase: duplicated 64-bit rolling keys
+    nominate candidate positions, then the true gram strings (rebuilt
+    only for candidate docs) are recounted so collisions cannot flag a
+    unique span — __key is the actual gram. With ``hash_keys=True`` the
+    verify recount is skipped and __key is the 64-bit key itself."""
+    occ = _int_occurrences(df, content, id_col, k)
+    if hash_keys:
+        dup = (
+            occ.groupBy("h")
+            .agg(F.count("*").alias("__c"),
+                 F.min(F.struct(F.col(id_col).alias("kid"),
+                                F.col("pos").alias("kpos"))).alias("keeper"))
+            .filter(F.col("__c") >= 2)
+            .drop("__c")
+        )
+        return (occ.join(dup, "h")
+                .select(F.col(id_col), "pos", F.col("h").alias("__key"),
+                        "keeper"))
+
+    # exact path: occ feeds the duplicated-key aggregate AND the
+    # candidate semi-join — persist so the scan + rolling-hash subtree
+    # runs once (ints only: ~20 B/position)
+    occ = occ.persist()
+    _POOL.swap(occ)
+    dup_h = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+             .filter(F.col("__c") >= 2).select("h"))
+    cand = occ.join(dup_h, "h", "semi")
+    # rebuild true grams doc-locally, ONLY for candidate positions:
+    # one split per candidate doc, one slice+join per candidate position
+    byn = cand.groupBy(id_col).agg(F.collect_list("pos").alias("__ps"))
+    grams = (
+        df.join(byn, id_col)
+        .withColumn("__w", _words(F.col(content)))
+        .select(F.col(id_col),
+                F.explode(F.transform(
+                    "__ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.array_join(F.slice("__w", p + 1, k), " ")
+                        .alias("gram")))).alias("pg"))
+        .select(F.col(id_col), F.col("pg.pos").alias("pos"),
+                F.col("pg.gram").alias("gram"))
+    )
+    dup_g = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"),
              F.min(F.struct(F.col(id_col).alias("kid"),
                             F.col("pos").alias("kpos"))).alias("keeper"))
         .filter(F.col("__c") >= 2)
         .drop("__c")
     )
-    return occ.join(dup, "__key")
+    return (grams.join(dup_g, "gram")
+            .select(F.col(id_col), "pos", F.col("gram").alias("__key"),
+                    "keeper"))
 
 
 def dup_substring_stats(df: DataFrame, content: str = "text",

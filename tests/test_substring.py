@@ -99,10 +99,16 @@ def test_hash_keys_path_matches_exact(docs):
 def test_no_python_eval_in_plans(docs):
     """No Python crossing; shuffle budget bounded (a regression to pair
     enumeration or a cartesian would blow the Exchange count); the only
-    Window nodes are the scrub's doc-partitioned island pass."""
+    Window nodes are the scrub's doc-partitioned island pass.
+
+    The exact two-phase path counts MORE pre-AQE exchanges than the old
+    single-phase gram-string design (11/12 vs 5/6) but each carries
+    8-byte keys or candidate-only rows instead of two corpus-wide
+    gram-STRING shuffles — shuffle bytes, not exchange count, is the
+    scale cost; AQE collapses the small sides to broadcasts at runtime."""
     for df, max_ex, max_win in (
-            (dup_substring_stats(docs, k=3), 5, 0),
-            (dup_substring_scrub(docs, k=3), 6, 2)):
+            (dup_substring_stats(docs, k=3), 11, 0),
+            (dup_substring_scrub(docs, k=3), 12, 2)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
