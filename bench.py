@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "doc_dsir_select", "doc_token_budget_sample",
     "doc_snapshot_diff", "doc_nfc_normalize",
+    "doc_decontam_profile", "doc_cluster_elect",
 ]
 
 
