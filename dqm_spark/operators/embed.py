@@ -80,3 +80,55 @@ def with_hashed_embedding(df: DataFrame, content: str = "content",
     """Adds `out` = hashed embedding of `content`. Pure projection."""
     return df.withColumn(
         out, hashed_embedding_col(F.col(content), dim, normalize))
+
+
+def embedding_diversity(df: DataFrame, vec: str = "embedding",
+                        group: str = "label",
+                        round_to: int = 6) -> DataFrame:
+    """Per-group embedding diversity census: (group, n, mean_pair_cos,
+    centroid_norm) — the standard "how self-similar is this slice of
+    training data" measurement (a slice whose mean pairwise cosine
+    creeps toward 1 is near-duplicate-saturated; its centroid norm
+    creeps toward 1 as the slice collapses to a direction).
+
+    Uses the norm-of-sum identity, so NO pair is ever enumerated:
+    with unit vectors v̂, sum_{i≠j} cos(v_i, v_j) = ||Σ v̂||² − n, hence
+    mean_pair_cos = (||Σ v̂||² − n) / (n(n−1)) and centroid_norm =
+    ||Σ v̂|| / n. A 10⁹-vector group costs exactly what its elementwise
+    sum costs.
+
+    Scale shape: rows L2-normalize in-plan (codegen HOFs, zero
+    Python), posexplode to (group, dim_pos, component) — keys bounded
+    by groups × dim — then two hash aggs with map-side partial
+    combine; output is |groups| rows. NULL and zero-norm vectors are
+    excluded (they have no direction); groups with n < 2 report
+    mean_pair_cos NULL. Sums run in float64; outputs are rounded
+    (`round_to`) so the census is engine-reproducible despite
+    summation-order fp drift ~1e-15.
+
+    dqm analog: the reference's per-plane mean/RMS census over channel
+    groups (/root/reference/src/DQMMeanRMS.cxx) — one bounded-key
+    aggregate per group, never per-pair work."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+    rows = (df
+            .where(F.col(vec).isNotNull() & (norm > 0))
+            .select(F.col(group), F.posexplode(unit).alias("__p", "__x")))
+    sums = (rows.groupBy(group, "__p")
+            .agg(F.sum("__x").alias("__s")))
+    n_col = (df.where(F.col(vec).isNotNull() & (norm > 0))
+             .groupBy(group).agg(F.count(F.lit(1)).alias("n")))
+    agg = (sums.groupBy(group)
+           .agg(F.sum(F.col("__s") * F.col("__s")).alias("__ss"))
+           .join(n_col, group))
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col(group),
+        F.col("n"),
+        F.round(
+            F.when(F.col("n") >= 2, (F.col("__ss") - n) / (n * (n - 1)))
+            .otherwise(F.lit(None).cast("double")),
+            round_to).alias("mean_pair_cos"),
+        F.round(F.sqrt(F.col("__ss")) / n, round_to).alias("centroid_norm"),
+    )

@@ -97,3 +97,36 @@ def test_pure_projection_plan(docs):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_embedding_diversity_identity(spark):
+    """Norm-of-sum identity vs hand values: clones -> cos 1, orthogonal
+    pair -> cos 0, singleton -> NULL, zero/NULL vectors excluded."""
+    from dqm_spark.operators.embed import embedding_diversity
+
+    rows = [
+        # label 0: two identical directions (scaled differently)
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (0, [5.0, 0.0, 0.0, 0.0]),
+        # label 1: orthogonal pair
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 2.0, 0.0, 0.0]),
+        # label 2: singleton + excluded zero vector
+        (2, [0.0, 0.0, 3.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        # label 3: NULL vector only -> group absent
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = (embedding_diversity(df, "embedding", "label")
+           .toPandas().set_index("label").sort_index())
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[0, "n"] == 2 and abs(out.loc[0, "mean_pair_cos"] - 1.0) < 1e-9
+    assert abs(out.loc[0, "centroid_norm"] - 1.0) < 1e-9
+    assert out.loc[1, "n"] == 2 and abs(out.loc[1, "mean_pair_cos"]) < 1e-9
+    # centroid of two orthogonal units has norm sqrt(2)/2
+    assert abs(out.loc[1, "centroid_norm"] - 0.707107) < 1e-6
+    assert out.loc[2, "n"] == 1
+    import pandas as pd
+    assert pd.isna(out.loc[2, "mean_pair_cos"])
+    assert abs(out.loc[2, "centroid_norm"] - 1.0) < 1e-9
