@@ -1,0 +1,93 @@
+"""Code-specific curation operators: structural clone detection and
+comment/blank-line profiling.
+
+A code corpus needs two measurements text pipelines don't have:
+
+* STRUCTURAL clones — files identical up to identifier renaming and
+  literal changes survive byte-exact dedup (and usually near-dup too:
+  renaming every variable shifts most shingles). The classic clone-
+  detection normalization (CCFinder/SourcererCC family, public methods)
+  maps every identifier to one placeholder and every number literal to
+  another, then groups on the normalized text: a file copied and
+  `foo`→`bar` renamed lands in the same group, while any structural
+  edit (added statement, changed operator) does not. One canonical
+  survives per group, elected exactly like byte-exact dedup.
+* comment/blank-line profile — the standard code-quality features
+  (comment density, blank density) for filter rules and classifier
+  inputs; line-oriented, language-naive on purpose (a `#`/`//`-style
+  prefix comment measure is cheap, deterministic, and reproducible in
+  plain SQL — full lexers are per-language and don't belong in a
+  portable census).
+
+dqm analog: the reference normalizes raw waveforms channel-by-channel
+before comparing records (pedestal subtraction,
+/root/reference/src/DQMMeanRMS.cxx) — comparison after a deterministic
+per-record normalization, which is exactly what the clone fingerprint
+does to source text.
+
+Scale shape: normalization is a codegen'd regexp chain (zero Python,
+zero shuffle); clone grouping reuses `dedup.exact_duplicates`'s
+two-stage digest election (map-side partial combine — a 10⁷-copy
+boilerplate family collapses to one record per input partition, no
+window, no hot key); the comment profile is a pure per-row projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# identifier first (an ident may contain digits but cannot start with
+# one), then remaining number literals; applied SEQUENTIALLY, so e.g.
+# "x12 + 34.5" -> "I + N". Both patterns use explicit classes only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+_NUM_RE = "[0-9]+(\\.[0-9]+)?"
+
+
+def normalize_code_col(content) -> Column:
+    """Structural fingerprint text: identifiers -> 'I', number literals
+    -> 'N', whitespace runs -> one space (trimmed). NULL passes through
+    (byte-exact dedup's NULL semantics apply downstream)."""
+    c = F.col(content) if isinstance(content, str) else content
+    c = F.regexp_replace(c, _IDENT_RE, "I")
+    c = F.regexp_replace(c, _NUM_RE, "N")
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def code_clone_groups(df: DataFrame, content: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, canonical_id, is_duplicate) over the STRUCTURAL fingerprint:
+    files equal after identifier/number/whitespace normalization share a
+    group; canonical = min id. Catches renamed copies that byte-exact
+    dedup misses and that near-dup shingling usually misses too (a
+    global rename shifts most k-grams)."""
+    from .dedup import exact_duplicates
+
+    normed = df.withColumn("__norm", normalize_code_col(content))
+    return (exact_duplicates(normed, "__norm", id_col)
+            .select(id_col, "canonical_id", "is_duplicate"))
+
+
+def comment_stats(df: DataFrame, content: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc line census for code quality rules: (id, n_lines,
+    comment_lines, blank_lines, comment_frac, blank_frac). A comment
+    line starts (after indentation) with '#' or '//'; fractions are
+    over all lines, rounded to 4 (engine-reproducible). NULL text
+    counts as one blank line (coalesced to ''), matching the SQL
+    oracle's coalesce."""
+    lines = F.split(F.coalesce(F.col(content), F.lit("")), "\n")
+    is_comment = lambda s: (  # noqa: E731
+        F.ltrim(s).startswith("#") | F.ltrim(s).startswith("//"))
+    n = F.size(lines).cast("long")
+    cm = F.size(F.filter(lines, is_comment)).cast("long")
+    bl = F.size(F.filter(lines, lambda s: F.trim(s) == "")).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        cm.alias("comment_lines"),
+        bl.alias("blank_lines"),
+        F.round(cm / n, 4).alias("comment_frac"),
+        F.round(bl / n, 4).alias("blank_frac"),
+    )

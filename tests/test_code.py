@@ -1,0 +1,66 @@
+"""Code-axis operators: structural clone groups (alpha-renaming
+invariant) and the comment/blank line census."""
+
+from __future__ import annotations
+
+import pytest
+
+from dqm_spark.operators.code import (
+    code_clone_groups,
+    comment_stats,
+    normalize_code_col,
+)
+
+
+def test_renamed_clone_grouped_structural_edit_not(spark):
+    src = ("def total(items):\n"
+           "    acc = 0\n"
+           "    for it in items:\n"
+           "        acc += it.price * 2\n"
+           "    return acc\n")
+    renamed = (src.replace("total", "summe").replace("items", "rows")
+               .replace("acc", "s").replace("it", "r")
+               .replace("price", "cost").replace("2", "7"))
+    edited = src.replace("acc += it.price * 2",
+                         "acc -= it.price * 2")  # operator change
+    reindented = src.replace("    ", "  ")       # whitespace only
+    df = spark.createDataFrame(
+        [(0, src), (1, renamed), (2, edited), (3, reindented),
+         (4, None), (5, None)],
+        ["doc_id", "text"])
+    out = (code_clone_groups(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "canonical_id"] == 0 and not out.loc[0, "is_duplicate"]
+    # renamed + reindented collapse onto doc 0; the operator edit does not
+    assert out.loc[1, "canonical_id"] == 0 and out.loc[1, "is_duplicate"]
+    assert out.loc[3, "canonical_id"] == 0 and out.loc[3, "is_duplicate"]
+    assert out.loc[2, "canonical_id"] == 2 and not out.loc[2, "is_duplicate"]
+    # NULLs group together under the digest sentinel
+    assert out.loc[4, "canonical_id"] == 4 and out.loc[5, "canonical_id"] == 4
+
+
+def test_normalize_examples(spark):
+    df = spark.createDataFrame(
+        [(0, "x12 +  34.5"), (1, "y_ab +\t7")], ["doc_id", "text"])
+    got = [r[0] for r in
+           df.select(normalize_code_col("text")).orderBy("doc_id").collect()]
+    assert got == ["I + N", "I + N"]
+
+
+def test_comment_stats_counts(spark):
+    text = ("#!/usr/bin/env python\n"
+            "# compute things\n"
+            "\n"
+            "x = 1  # trailing comments do not count\n"
+            "   // C-style indented comment\n"
+            "\t\n")  # tab-only line is NOT blank (space-only trim, both engines)
+    df = spark.createDataFrame([(0, text), (1, None)], ["doc_id", "text"])
+    out = (comment_stats(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    d0 = out.loc[0]
+    assert d0["n_lines"] == 7  # trailing \n yields a final empty line
+    assert d0["comment_lines"] == 3
+    assert d0["blank_lines"] == 2  # the '' line + final empty; tab line excluded
+    assert abs(d0["comment_frac"] - round(3 / 7, 4)) < 1e-9
+    d1 = out.loc[1]
+    assert d1["n_lines"] == 1 and d1["blank_lines"] == 1
