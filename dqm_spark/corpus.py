@@ -57,7 +57,8 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
                    paragraph_dedup: bool = False,
                    decontaminate_against: DataFrame | None = None,
                    decontam_ngram: int = 8,
-                   mixture: dict[str, int] | None = None) -> CorpusResult:
+                   mixture: dict[str, int] | None = None,
+                   retention_score=None) -> CorpusResult:
     """repetition_filter adds a Gopher-style stage: drop docs whose
     duplicate-line character fraction exceeds max_dup_line_char_frac
     (textstats.repetition_stats). OFF by default — the default composition
@@ -99,7 +100,19 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
 
     mixture (e.g. {'python': 100, 'go': 25}) applies per-lang
     deterministic down-sampling FIRST — before any dedup — so every later
-    stage pays only for sampled rows; langs outside the mixture drop."""
+    stage pays only for sampled rows; langs outside the mixture drop.
+
+    retention_score: an optional deterministic Column over the input's
+    columns (round float scores to fixed precision). When set (and
+    near_dedup=True), the near-dup stage switches from the bucket-min
+    minhash canonical to dedup.cluster_elect — verified J >= 0.9
+    clusters keeping the HIGHEST-score member (ties -> min id) instead
+    of the arbitrary min-id winner. The score must be CONTENT-derived:
+    byte-identical copies then score equally, so the elected rep always
+    coincides with the exact-dedup canonical (a metadata-derived score
+    could elect a rep that exact-dedup drops, losing the whole family).
+    OFF by default (min-id retention preserves the reference-parity
+    invariant)."""
     if mixture is not None:
         from .operators.sampling import mixture_sample
         df = mixture_sample(
@@ -111,7 +124,13 @@ def prepare_corpus(df: DataFrame, spark: SparkSession, run_id: str = "corpus",
     exact = exact_duplicates(keyed, "content", "__id").select(
         F.col("__id"), F.col("is_duplicate").alias("exact_dup"))
     audit = exact
-    if near_dedup:
+    if near_dedup and retention_score is not None:
+        from .operators.dedup import cluster_elect
+        near = cluster_elect(keyed, "content", "__id",
+                             retention_score).select(
+            F.col("__id"), (~F.col("keep")).alias("near_dup"))
+        audit = exact.join(near, "__id")
+    elif near_dedup:
         near = minhash_dedup(keyed, "content", "__id").select(
             F.col("__id"), F.col("is_duplicate").alias("near_dup"))
         audit = exact.join(near, "__id")

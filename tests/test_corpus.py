@@ -213,3 +213,37 @@ def test_mixture_stage_filters_langs_before_dedup(spark):
     audit_n = res.dedup_audit.count()
     in_mix = (pdf.lang.isin(["python", "go"])).sum()
     assert audit_n == in_mix  # 100% strata fully present, others gone
+
+
+def test_retention_score_keeps_best_cluster_member(spark):
+    """retention_score switches near-dup retention from min-id to
+    best-score; byte-identical copies still resolve consistently with
+    exact dedup (content-derived score)."""
+    from pyspark.sql import functions as F
+
+    base = "\n".join(
+        f"metric_{j} = aggregate_channel_{j}(frame_{j}, window={j * 7})"
+        for j in range(24)) + "\n"
+    docs = pd.DataFrame({
+        "repo": "r", "path": [f"f{i}.py" for i in range(4)],
+        "commit": "c" * 40, "lang": "python",
+        "content": [
+            base + "# t A",
+            base + "# tail AB xy",  # longest -> elected rep
+            base + "# t B",
+            "completely unrelated single file contents",
+        ],
+    })
+    from dqm_spark.qfconfig import QFConfig
+    score = F.length("content").cast("double")  # content-derived: longest wins
+    res = prepare_corpus(spark.createDataFrame(docs), spark,
+                         cfg=QFConfig(enable_scoring=False),
+                         retention_score=score)
+    audit = res.dedup_audit.toPandas().set_index("path")
+    # the near-dup family {f0,f1,f2} keeps the LONGEST member (f1),
+    # not the min-id one (f0); the unrelated doc is untouched
+    assert not audit.loc["f1.py", "near_dup"]
+    assert audit.loc["f0.py", "near_dup"] and audit.loc["f2.py", "near_dup"]
+    assert not audit.loc["f3.py", "near_dup"]
+    kept_paths = set(res.kept.toPandas()["path"])
+    assert "f1.py" in kept_paths and "f0.py" not in kept_paths
