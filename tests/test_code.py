@@ -64,3 +64,25 @@ def test_comment_stats_counts(spark):
     assert abs(d0["comment_frac"] - round(3 / 7, 4)) < 1e-9
     d1 = out.loc[1]
     assert d1["n_lines"] == 1 and d1["blank_lines"] == 1
+
+
+def test_import_census(spark):
+    docs = [
+        (0, "import os\nimport numpy as np\nfrom collections import deque\n"
+            "import os.path\nx = 1"),
+        (1, "  from collections import OrderedDict\nimport os\n"
+            "# import commented_out is still a line-anchored miss? no:\n"
+            "importx = 3\nfrom x import y"),
+        (2, None),
+    ]
+    from dqm_spark.operators.code import import_census
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = (import_census(df, "text", "doc_id")
+           .toPandas().set_index("module").sort_index())
+    # 'importx = 3' must NOT match; '# import ...' must NOT match
+    assert "importx" not in out.index and "commented_out" not in out.index
+    assert out.loc["os", "n_docs"] == 2 and out.loc["os", "n_imports"] == 2
+    assert out.loc["os.path", "n_imports"] == 1
+    assert out.loc["collections", "n_docs"] == 2
+    assert out.loc["numpy", "n_imports"] == 1
+    assert out.loc["x", "n_docs"] == 1
