@@ -12,13 +12,18 @@ Scale shape (100 TB corpus, benchmark ~1e3-1e7 n-grams):
 * the benchmark side is SMALL relative to the corpus — distinct its
   n-grams once and BROADCAST them; the corpus side then streams through
   a broadcast hash join with ZERO corpus shuffle.
-* the corpus explode is bounded per doc (n_words - n + 1 rows) and is
-  immediately collapsed by a per-doc distinct + the join, so no
-  unbounded fan-out survives the stage.
-* join on the n-gram STRING, not a hash: with a broadcast join there is
-  no shuffle to shrink, string equality costs a hash probe anyway, and
-  exactness is preserved (no collision caveat). If the benchmark ever
-  outgrows broadcast range, switch to xxhash64 keys + shuffle join.
+* the corpus explode is bounded per doc (n_words - n + 1 rows) and
+  carries 8-BYTE ROLLING KEYS, never gram strings (per-word xxhash64
+  chained via n-1 linear zip_with passes — substring.py's
+  rolling_ngram_keys): the corpus-wide pass builds no strings at all.
+* exactness is preserved by a candidate-only STRING verify (the
+  heavy-hitters recount pattern shared with substring.py): true gram
+  strings are rebuilt doc-locally for candidate positions — a superset
+  of the true hits, tiny at real contamination rates — and checked
+  against the broadcast benchmark string set, so a 64-bit collision
+  cannot flag a clean doc. If the benchmark ever outgrows broadcast
+  range, switch the key probe to a shuffle join; the verify is
+  unchanged.
 """
 
 from __future__ import annotations
@@ -39,6 +44,64 @@ def word_ngrams(col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bench_keys(benchmark: DataFrame, bench_content: str, n: int):
+    from .substring import rolling_ngram_keys
+    return (benchmark
+            .select(F.explode(rolling_ngram_keys(F.col(bench_content), n))
+                    .alias("h"))
+            .distinct())
+
+
+def _candidate_positions(corpus: DataFrame, content: str, id_col: str,
+                         n: int, benchmark: DataFrame,
+                         bench_content: str) -> DataFrame:
+    """(id, pos) candidate hits: positions whose 64-bit rolling n-gram
+    key appears in the benchmark key set — a superset of the true hits
+    (equal grams always share a key); key collisions are pruned by the
+    string verify in _verified_hits."""
+    from .substring import rolling_ngram_keys
+    pos_keys = corpus.select(
+        F.col(id_col),
+        F.posexplode(rolling_ngram_keys(F.col(content), n))
+        .alias("pos", "h"))
+    return (pos_keys
+            .join(F.broadcast(_bench_keys(benchmark, bench_content, n)),
+                  "h", "semi")
+            .select(id_col, "pos"))
+
+
+def _verified_hits(corpus: DataFrame, content: str, id_col: str, n: int,
+                   benchmark: DataFrame, bench_content: str,
+                   cand: DataFrame) -> DataFrame:
+    """(id, pos, gram) TRUE hits: candidate positions' gram strings are
+    rebuilt doc-locally (one split per candidate doc, one slice+join per
+    candidate position — never for the whole corpus) and checked against
+    the broadcast benchmark STRING set, so a rolling-key collision
+    cannot flag a clean doc."""
+    from .substring import word_array
+    byn = cand.groupBy(id_col).agg(F.collect_list("pos").alias("__ps"))
+    grams = (
+        corpus.join(byn, id_col)
+        .withColumn("__w", word_array(F.col(content)))
+        .select(F.col(id_col),
+                F.explode(F.transform(
+                    "__ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.array_join(F.slice("__w", p + 1, n), " ")
+                        .alias("gram")))).alias("pg"))
+        .select(F.col(id_col), F.col("pg.pos").alias("pos"),
+                F.col("pg.gram").alias("gram"))
+    )
+    bench_grams = (
+        benchmark
+        .select(F.explode(word_ngrams(F.col(bench_content), n))
+                .alias("gram"))
+        .distinct()
+    )
+    return grams.join(F.broadcast(bench_grams), "gram", "semi")
+
+
 def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                         content: str = "text", id_col: str = "doc_id",
                         bench_content: str = "text",
@@ -46,29 +109,22 @@ def ngram_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     """(id_col, n_hits) for every corpus doc sharing >= 1 word n-gram
     with the benchmark; n_hits = number of DISTINCT shared n-grams.
     Docs with zero overlap are absent (anti-join them to get the clean
-    set)."""
-    bench_grams = (
-        benchmark
-        .select(F.explode(word_ngrams(F.col(bench_content), n))
-                .alias("gram"))
-        .distinct()
-    )
-    # per-doc dedup happens INSIDE the row (array_distinct before the
-    # explode), not via dropDuplicates — a dropDuplicates([id, gram])
-    # here would shuffle the full exploded corpus-gram stream before the
-    # broadcast join prunes it, which is exactly the cost this operator
-    # exists to avoid. After this, (id, gram) is already unique, so the
-    # corpus side reaches the join with zero exchanges.
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(content), n)))
-        .alias("gram"))
-    return (
-        corpus_grams
-        .join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    set).
+
+    Two-phase exact: the corpus-wide pass matches 64-bit ROLLING KEYS
+    (per-word xxhash64 chained via n-1 linear zip_with passes — no
+    per-position gram string is ever built corpus-wide) against the
+    broadcast benchmark key set; the true gram strings are rebuilt and
+    string-verified ONLY for candidate positions, so key collisions
+    cannot flag a clean doc. Still zero corpus shuffle before the
+    broadcast key probe; everything after runs on the (tiny at real
+    contamination rates) candidate set."""
+    cand = _candidate_positions(corpus, content, id_col, n,
+                                benchmark, bench_content)
+    hits = _verified_hits(corpus, content, id_col, n,
+                          benchmark, bench_content, cand)
+    return (hits.groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hits")))
 
 
 def decontaminate_profile(corpus: DataFrame, benchmark: DataFrame,
@@ -88,11 +144,11 @@ def decontaminate_profile(corpus: DataFrame, benchmark: DataFrame,
     idiom-level collisions. Callers threshold on either
     (e.g. hit_frac >= 0.7 or longest_run >= 13 - n + 1) to drop docs.
 
-    Scale shape: identical to `ngram_decontaminate` up to the broadcast
-    join — benchmark grams distinct'd and broadcast, corpus explode
-    bounded per doc, ZERO corpus shuffle to find the hits. The
+    Scale shape: identical to `ngram_decontaminate` — rolling-key match
+    against the broadcast benchmark key set (zero corpus shuffle, no
+    corpus-wide gram strings), string verify on candidates only. The
     run-length step (islands-and-gaps window + two hash aggs) runs only
-    on the MATCHED positions — at real contamination rates (<<1% of
+    on the VERIFIED positions — at real contamination rates (<<1% of
     corpus positions) that survivor stream is tiny, and its keys are
     doc-local so no corpus-wide hot key exists.
 
@@ -101,24 +157,17 @@ def decontaminate_profile(corpus: DataFrame, benchmark: DataFrame,
     (/root/reference/include/dqm/algs.hpp check-window loops)."""
     from pyspark.sql import Window
 
-    bench_grams = (
-        benchmark
-        .select(F.explode(word_ngrams(F.col(bench_content), n))
-                .alias("gram"))
-        .distinct()
-    )
-    # the gram-string build is the dominant corpus-side cost, so it must
-    # run exactly ONCE per row: posexplode is its only consumer. A
-    # `withColumn("__grams", ...)` reused by size() AND posexplode gets
-    # inlined into BOTH by Catalyst's projection collapse — measured 3x
-    # the operator wall. n_grams instead comes from a word-COUNT
-    # projection (split only, no gram strings) joined onto the per-doc
-    # aggregate, which is tiny (only docs with >= 1 hit).
-    pos_grams = corpus.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(content), n)).alias("pos", "gram"))
-    hits = (pos_grams.join(F.broadcast(bench_grams), "gram")
-            .select(id_col, "pos"))
+    # same two-phase as ngram_decontaminate: corpus-wide matching on
+    # rolling keys (no gram strings built corpus-wide), string verify on
+    # candidates only. n_grams comes from a split-only word-COUNT
+    # projection joined onto the per-doc aggregate (tiny: only docs with
+    # >= 1 hit) — an alias reused by size() AND posexplode would be
+    # inlined into both by Catalyst's projection collapse (measured 3x).
+    cand = _candidate_positions(corpus, content, id_col, n,
+                                benchmark, bench_content)
+    hits = _verified_hits(corpus, content, id_col, n,
+                          benchmark, bench_content, cand) \
+        .select(id_col, "pos")
     # islands-and-gaps: consecutive matched positions share
     # pos - row_number(), so each contiguous run is one group
     w = Window.partitionBy(id_col).orderBy("pos")

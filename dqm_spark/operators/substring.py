@@ -64,18 +64,18 @@ _POOL = CachePool()
 clear_substring_cache = _POOL.clear
 
 
-def _words(col):
+def word_array(col):
     return F.filter(F.split(col, r"\s+"), lambda w: w != "")
 
 
-def _rolling_keys(col, k: int):
+def rolling_ngram_keys(col, k: int):
     """array<bigint> of 64-bit rolling k-gram keys (one per 0-based word
     position; < k words yields []). Key = xxhash64 chained over the k
     per-word xxhash64 values — built with k-1 linear zip_with passes,
     never a per-position string or an O(n·k) element gather (measured
     10x the transform-with-k-element_at formulation and 1.5x the
     gram-string build at sf0.1)."""
-    wh = F.transform(_words(col), lambda w: F.xxhash64(w))
+    wh = F.transform(word_array(col), lambda w: F.xxhash64(w))
     n = F.size(wh)
     empty = F.array().cast("array<bigint>")
     arr = wh
@@ -94,7 +94,7 @@ def _int_occurrences(df: DataFrame, content: str, id_col: str,
     """(id, pos:int, h:bigint) — one row per k-gram position."""
     return df.select(
         F.col(id_col),
-        F.posexplode(_rolling_keys(F.col(content), k)).alias("pos", "h"))
+        F.posexplode(rolling_ngram_keys(F.col(content), k)).alias("pos", "h"))
 
 
 def _dup_flagged(df: DataFrame, content: str, id_col: str, k: int,
@@ -137,7 +137,7 @@ def _dup_flagged(df: DataFrame, content: str, id_col: str, k: int,
     byn = cand.groupBy(id_col).agg(F.collect_list("pos").alias("__ps"))
     grams = (
         df.join(byn, id_col)
-        .withColumn("__w", _words(F.col(content)))
+        .withColumn("__w", word_array(F.col(content)))
         .select(F.col(id_col),
                 F.explode(F.transform(
                     "__ps",
