@@ -146,11 +146,18 @@ def main() -> None:
         # added to timings: the summed "value" must stay comparable with
         # earlier BENCH_r*.json snapshots that predate the wide-row bench
 
+    spark.catalog.clearCache()   # headline/wide leftovers; see loop below
     qmap = entrymod.queries()
     if os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
         qmap = {}
     # best-of-2 per query, same reasoning as the headline: first pass pays
-    # page-cache warmup for that query's tables and host noise is ±30%
+    # page-cache warmup for that query's tables and host noise is ±30%.
+    # clearCache between queries: operator CachePools keep each module's
+    # last persisted intermediates alive for the session, and with ~40
+    # suite queries the accumulated storage pressures the unified memory
+    # region — measured doc_cluster_lsh at 27 s in-suite vs 5.8 s
+    # standalone before this. Each query is timed as its own job, the
+    # way the driver and a production run would execute it.
     for name in (BENCH_QUERIES if qmap else []):
         best = float("inf")
         for _ in range(2):
@@ -160,6 +167,7 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
             assert n >= 0
         timings[name] = round(best, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # The N->4N scaling curve + machine-capacity control live in
