@@ -172,3 +172,41 @@ def token_budget_sample(df: DataFrame, key: Column, budgets: dict[str, int],
                    .withColumn("__tb_cum_7c41", F.sum(F.col(tc)).over(w))
                    .filter(F.col("__tb_cum_7c41") <= _by_stratum(remain, 0)))
     return full.select(*df.columns).unionByName(boundary.select(*df.columns))
+
+
+def leakage_safe_split(df: DataFrame, content: str, id_col: str,
+                       val_pct: int = 10, denom: int = 100,
+                       threshold: float = 0.9,
+                       salt: str = "split:") -> DataFrame:
+    """(id, component, split) — near-dup-cluster-aware train/val split.
+
+    A row-level hash split leaks: two near-duplicate documents land on
+    opposite sides and the eval set scores memorization (the reason
+    big-corpus recipes split AFTER clustering — e.g. the Gopher/MassiveText
+    and GPT-3 dedup-then-split discussions). Here the split key is the
+    near-duplicate COMPONENT (dedup.near_dup_clusters: LSH candidates →
+    exact-Jaccard verify → connected components), so an entire template
+    family rides one side. split = 'val' iff the shared keep-hash of the
+    component id clears val_pct/denom — deterministic across runs,
+    partitionings, and engines, and mutually nested with every other
+    sampler via the same `_keep_hash` formula.
+
+    dqm analog: the reference assigns whole channel GROUPS to a monitoring
+    stream (ChannelMap plane grouping, /root/reference/src/ChannelMap.cpp),
+    never splitting a correlated group across streams.
+
+    Scale shape: inherits near_dup_clusters' posture (content bytes never
+    shuffle, bucketed candidates, partial-agg CC); the split itself is one
+    codegen'd projection over (id, component) — no extra shuffle, no
+    Python.
+    """
+    from .dedup import near_dup_clusters
+
+    if not (0 <= val_pct <= denom):
+        raise ValueError(f"val_pct must be in [0, {denom}], got {val_pct}")
+    comp = near_dup_clusters(df, content, id_col, threshold=threshold)
+    is_val = (_keep_hash(F.col("component").cast("string"), salt)
+              % denom) < val_pct
+    return comp.select(
+        F.col(id_col), F.col("component"),
+        F.when(is_val, F.lit("val")).otherwise(F.lit("train")).alias("split"))

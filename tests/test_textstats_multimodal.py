@@ -366,3 +366,44 @@ def test_tfidf_top_terms_golden(spark):
         (2, "x", 1, 1, 1),       # tie with y -> term asc
         (2, "y", 1, 1, 2),
     ]
+
+
+def test_leakage_safe_split(spark):
+    from dqm_spark.operators.sampling import leakage_safe_split
+    import pytest as _pt
+    # planted near-dup families: base docs + light edits (J >= 0.9),
+    # plus singletons. A row-level split would eventually strand family
+    # members on opposite sides; the cluster split must not.
+    base = ("def handler(request):\n    token = parse(request)\n"
+            "    return dispatch(token, request.headers) " )
+    rows = []
+    for fam in range(40):
+        text = base * 4 + f"# family {fam}\n" * 3
+        rows.append((fam * 10, text))
+        rows.append((fam * 10 + 1, text + "pad"))       # near-dup of base
+    for s in range(100):
+        rows.append((4000 + s, f"completely unrelated singleton {s} " * 20
+                     + str(s * 7919)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "text", "doc_id", val_pct=20).collect()
+    assert len(out) == len(rows)                        # every doc assigned
+    by_comp: dict[int, set[str]] = {}
+    comp_of = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+        comp_of[r.doc_id] = r.component
+    # the invariant: no component straddles the split
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the planted pairs really did cluster (split key is the family)
+    for fam in range(40):
+        assert comp_of[fam * 10] == comp_of[fam * 10 + 1]
+    # both sides populated at val_pct=20 over ~140 components
+    splits = {r.split for r in out}
+    assert splits == {"train", "val"}
+    # deterministic under repartitioning
+    out2 = leakage_safe_split(df.repartition(7), "text", "doc_id",
+                              val_pct=20).collect()
+    assert sorted((r.doc_id, r.component, r.split) for r in out) == \
+           sorted((r.doc_id, r.component, r.split) for r in out2)
+    with _pt.raises(ValueError):
+        leakage_safe_split(df, "text", "doc_id", val_pct=-1)
