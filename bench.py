@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_dsir_select", "doc_token_budget_sample",
     "doc_snapshot_diff", "doc_nfc_normalize",
     "doc_decontam_profile", "doc_cluster_elect",
+    "doc_leakage_safe_split", "doc_temperature_mixture",
 ]
 
 

@@ -210,3 +210,39 @@ def leakage_safe_split(df: DataFrame, content: str, id_col: str,
     return comp.select(
         F.col(id_col), F.col("component"),
         F.when(is_val, F.lit("val")).otherwise(F.lit("train")).alias("split"))
+
+
+def temperature_mixture(df: DataFrame, key: Column, alpha: float,
+                        stratum_col: str = "lang", salt: str = "",
+                        ppm: int = 1_000_000) -> DataFrame:
+    """Temperature-weighted (alpha-)sampling: rebalance strata so the
+    post-sampling distribution is proportional to share^alpha — the
+    standard multilingual/domain smoothing (mBERT alpha=0.7, XLM-R
+    alpha=0.3): alpha=1 keeps the natural mix, alpha->0 approaches
+    uniform. Keep-rate per stratum is (n_s / n_min)^(alpha-1) — the
+    smallest stratum keeps everything, larger strata down-sample —
+    quantized to parts-per-million on the DRIVER (the census is a
+    bounded stratum->count map, same driver-scalar pattern as
+    token_budget_sample's cutoff), then applied as one codegen'd
+    hash filter: keep iff keep-hash % ppm < rate_s. Deterministic
+    across runs, partitionings, and engines; nested with every other
+    sampler via the shared `_keep_hash`.
+
+    dqm analog: per-plane prescale factors applied to the readout
+    request (/root/reference/include/dqm/Decoder.hpp max_frames) — a
+    deterministic per-group rate, not an RNG.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {r[0]: r[1]
+              for r in df.groupBy(stratum_col).count().collect()
+              if r[0] is not None}
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    rates = {s: int(round((n / n_min) ** (alpha - 1.0) * ppm, 0))
+             for s, n in counts.items()}
+    rate = F.lit(-1)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter((_keep_hash(key, salt) % ppm) < rate)

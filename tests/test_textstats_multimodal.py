@@ -407,3 +407,34 @@ def test_leakage_safe_split(spark):
            sorted((r.doc_id, r.component, r.split) for r in out2)
     with _pt.raises(ValueError):
         leakage_safe_split(df, "text", "doc_id", val_pct=-1)
+
+
+def test_temperature_mixture(spark):
+    from dqm_spark.operators.sampling import temperature_mixture
+    import pytest as _pt
+    # skewed strata: en 8000, de 2000, zh 250
+    rows = ([(i, "en", f"text {i}") for i in range(8000)]
+            + [(10000 + i, "de", f"text de {i}") for i in range(2000)]
+            + [(20000 + i, "zh", f"text zh {i}") for i in range(250)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    out = temperature_mixture(df, key, alpha=0.5).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    # smallest stratum survives whole; larger strata shrink toward
+    # n_min * sqrt(n_s/n_min), i.e. counts ~ sqrt(n_s * n_min)
+    assert got["zh"] == 250
+    import math
+    for lang, n in (("en", 8000), ("de", 2000)):
+        expect = math.sqrt(n * 250)
+        assert abs(got[lang] - expect) < 4 * math.sqrt(expect), (lang, got)
+    # post-sampling shares flatter than natural: en/zh ratio falls from
+    # 32x toward sqrt(32)~5.7x
+    assert got["en"] / got["zh"] < 10
+    # deterministic under repartitioning
+    a = temperature_mixture(df, key, alpha=0.5).collect()
+    b = temperature_mixture(df.repartition(11), key, alpha=0.5).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # alpha=1 keeps the natural mix (rate 1.0 everywhere)
+    assert temperature_mixture(df, key, alpha=1.0).count() == len(rows)
+    with _pt.raises(ValueError):
+        temperature_mixture(df, key, alpha=0.0)
