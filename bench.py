@@ -60,6 +60,15 @@ BENCH_QUERIES = [
 # them, pinning effective parallelism at 8 tasks ~= 26% CPU busy).
 QF_INPUT_FILES = int(os.environ.get("SPARK_GRAFT_QF_FILES", "64"))
 
+# Where the headline pipeline writes its parquet decisions. Default stays
+# on /tmp so qf_files_per_sec remains comparable with earlier BENCH_r*
+# snapshots. Scaling runs (bench_scaling.py) point this at /dev/shm: the
+# sandbox's single shared virtio disk is not a property of a real 4N
+# cluster (executors have independent local disks), and it distorts the
+# LEVEL RATIO — 32 concurrent writers contend on one device while 8
+# don't. The parquet ENCODE cost stays in the measurement either way.
+BENCH_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/dqm_bench_out")
+
 
 def _qf_input(spark) -> str:
     """Materialize (once) the deterministic synthetic source_files table."""
@@ -110,7 +119,7 @@ def main() -> None:
     for rep in range(reps):
         t0 = time.monotonic()
         src = spark.read.parquet(inp)
-        out_path = f"/tmp/dqm_bench_out/decisions_n{QF_ROWS}_{rep}"
+        out_path = f"{BENCH_OUT}/decisions_n{QF_ROWS}_{rep}"
         decisions(src, spark).write.mode("overwrite").parquet(out_path)
         qf_sec = min(qf_sec, time.monotonic() - t0)
     timings["qf_pipeline"] = round(qf_sec, 4)

@@ -38,6 +38,15 @@ def run_at(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_QF_ROWS=str(N_ROWS),   # same input at all levels
                SPARK_GRAFT_SKIP_SUITE="1",        # compute-dominated QF job
+               # sink on tmpfs: the sandbox's ONE shared virtio disk is a
+               # sandbox artifact, not a 4N-cluster property (executors
+               # have independent local disks), and it skews the level
+               # RATIO — 32 concurrent parquet writers contend on the
+               # device, 8 barely do (measured ~0.08 efficiency, see the
+               # sink-vs-compute decomposition in BASELINE.md). Parquet
+               # encode cost stays in the measurement; only the contended
+               # device goes away. The headline bench keeps /tmp.
+               SPARK_GRAFT_BENCH_OUT="/dev/shm/dqm_bench_out",
                PYTHONPATH=HERE + os.pathsep + os.environ.get("PYTHONPATH", ""))
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],
@@ -72,6 +81,10 @@ def main() -> None:
         "measured_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
         "qf_rows": N_ROWS,
+        # honest labeling: runs before 2026-08-19T17:10Z wrote the sink to
+        # /tmp (shared virtio disk); later runs write tmpfs — see the
+        # sink-vs-compute decomposition in BASELINE.md for why
+        "sink": "tmpfs (/dev/shm)",
         "levels": {str(c): {"files_per_sec": fps[c],
                             "qf_sec": runs[c]["qf_sec"]} for c in LEVELS},
         "efficiency_2_to_8": (round((fps[8] / fps[2]) / 4, 4)
