@@ -65,7 +65,12 @@ def train_kmeans(df: DataFrame, vec: str = "embedding",
                 if not len(b):
                     continue
                 m = np.array(b["__v"].tolist(), dtype=np.float64)
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                # zero-norm guard (wordless docs embed as all-zero, see
+                # with_hashed_embedding): 0/0 would NaN-poison the
+                # centroid sums and collapse every later assignment
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                m /= nrm
                 cell = (m @ cm.T).argmax(axis=1)
                 counts += np.bincount(cell, minlength=c)
                 np.add.at(sums, cell, m)
@@ -122,7 +127,9 @@ def kmeans_inertia(df: DataFrame, centroids: np.ndarray,
             if not len(b):
                 continue
             m = np.array(b["__v"].tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0   # zero-norm guard, as in _partials
+            m /= nrm
             tot += float((1.0 - (m @ cm.T).max(axis=1)).sum())
             n += len(m)
         if n:

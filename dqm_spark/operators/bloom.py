@@ -139,8 +139,13 @@ def incremental_exact_dedup(batch: DataFrame, corpus: DataFrame,
                             fpp: float = 0.01) -> DataFrame:
     """Batch rows + `is_novel` (content not byte-present in corpus).
 
-    Exact semantics (== an anti-join on content), but only the bloom
-    HITS ever reach a join: novel-majority batches shuffle nothing.
+    Exact semantics: equivalent to an anti-join on the content DIGEST
+    (dedup._content_digest), i.e. the exact-dedup family's equality,
+    under which NULL contents are equal to each other — a NULL-content
+    batch row is NOT novel if the corpus holds any NULL-content row.
+    (A plain anti-join on the raw content column would differ exactly
+    there: SQL NULL != NULL would call every NULL row novel.) Only the
+    bloom HITS ever reach a join: novel-majority batches shuffle nothing.
     The verify side broadcasts the distinct hit digests (small by
     construction) against one corpus scan — the corpus itself is never
     shuffled or collected.

@@ -39,10 +39,14 @@ from pyspark.sql import functions as F
 
 # identifier first (an ident may contain digits but cannot start with
 # one), then remaining number literals; applied SEQUENTIALLY, so e.g.
-# "x12 + 34.5" -> "I + N". Both patterns use explicit classes only —
-# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+# "x12 + 34.5" -> "I + N". ALL patterns use explicit classes only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB). That is
+# why the whitespace run is an explicit class too, not \s: Java's \s
+# includes \x0B, RE2's does not, and the divergence would silently
+# split clone groups between the operator and its oracle.
 _IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
 _NUM_RE = "[0-9]+(\\.[0-9]+)?"
+_WS_RE = "[ \\t\\n\\r\\f]+"
 
 
 def normalize_code_col(content) -> Column:
@@ -52,7 +56,7 @@ def normalize_code_col(content) -> Column:
     c = F.col(content) if isinstance(content, str) else content
     c = F.regexp_replace(c, _IDENT_RE, "I")
     c = F.regexp_replace(c, _NUM_RE, "N")
-    return F.trim(F.regexp_replace(c, "\\s+", " "))
+    return F.trim(F.regexp_replace(c, _WS_RE, " "))
 
 
 def code_clone_groups(df: DataFrame, content: str = "text",
@@ -73,16 +77,21 @@ def comment_stats(df: DataFrame, content: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-doc line census for code quality rules: (id, n_lines,
     comment_lines, blank_lines, comment_frac, blank_frac). A comment
-    line starts (after indentation) with '#' or '//'; fractions are
-    over all lines, rounded to 4 (engine-reproducible). NULL text
-    counts as one blank line (coalesced to ''), matching the SQL
-    oracle's coalesce."""
+    line starts (after indentation — spaces OR tabs, so tab-indented
+    Go/Makefile-style comments count) with '#' or '//'; a blank line is
+    empty after stripping spaces/tabs; fractions are over all lines,
+    rounded to 4 (engine-reproducible). NULL text counts as one blank
+    line (coalesced to ''), matching the SQL oracle's coalesce.
+    Indentation is stripped with an explicit [ \\t] regex class, not
+    ltrim: both Spark's and DuckDB's one-arg ltrim strip spaces only,
+    which silently missed every tab-indented comment."""
     lines = F.split(F.coalesce(F.col(content), F.lit("")), "\n")
+    strip = lambda s: F.regexp_replace(s, "^[ \\t]+", "")  # noqa: E731
     is_comment = lambda s: (  # noqa: E731
-        F.ltrim(s).startswith("#") | F.ltrim(s).startswith("//"))
+        strip(s).startswith("#") | strip(s).startswith("//"))
     n = F.size(lines).cast("long")
     cm = F.size(F.filter(lines, is_comment)).cast("long")
-    bl = F.size(F.filter(lines, lambda s: F.trim(s) == "")).cast("long")
+    bl = F.size(F.filter(lines, lambda s: strip(s) == "")).cast("long")
     return df.select(
         F.col(id_col),
         n.alias("n_lines"),

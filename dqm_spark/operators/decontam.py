@@ -212,7 +212,8 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     per corpus vector, including the clean ones (unlike the n-gram pass,
     the GEMM costs the same either way, and the audit wants max_cos for
     the near-misses). Zero-norm / null corpus vectors get max_cos NULL,
-    contaminated false.
+    contaminated false; an EMPTY benchmark yields the all-clean result
+    (every row NULL/false) rather than an error.
 
     Scale shape (100 TB corpus, benchmark ~1e3-1e6 vectors):
     * the benchmark side is the small one — collect ONCE to the driver,
@@ -232,7 +233,11 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     spark = corpus.sparkSession
     brows = benchmark.select(id_col, bench_vec).collect()
     bids = np.array([r[id_col] for r in brows], dtype=np.int64)
-    bmat = np.array([r[bench_vec] for r in brows], dtype=np.float64)
+    # empty benchmark -> all-clean result (every row NULL/false), not an
+    # AxisError from a (0,)-shaped matrix; keep 2-D so score() can branch
+    # on bm.size without special cases
+    bmat = (np.array([r[bench_vec] for r in brows], dtype=np.float64)
+            if brows else np.zeros((0, 1), dtype=np.float64))
     order = np.argsort(bids, kind="stable")  # argmax keeps the FIRST max,
     bids, bmat = bids[order], bmat[order]    # so ties go to the lowest id
     bn = np.linalg.norm(bmat, axis=1, keepdims=True)
@@ -254,7 +259,7 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
             near = np.full(n_rows, np.nan)       # NaN -> SQL NULL (Int64)
             mc_all = np.full(n_rows, np.nan)
             cont = np.zeros(n_rows, dtype=bool)
-            if ok.any():
+            if ok.any() and bm.size:
                 m = np.array(vals[ok].tolist(), dtype=np.float64)
                 nrm = np.linalg.norm(m, axis=1, keepdims=True)
                 zero = (nrm[:, 0] == 0.0)

@@ -108,7 +108,9 @@ def connected_components(edges: DataFrame, src: str = "src",
                          ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component
     = the minimum node id in its connected component. Undirected: each
-    input pair counts both ways; self-loops are ignored.
+    input pair counts both ways; self-loops carry no connectivity but
+    their nodes DO appear in the output (as singletons, unless other
+    edges connect them).
 
     Adaptive execution, same posture as Spark's own broadcast-join
     threshold: the DISTINCT verified edge list is usually minuscule
@@ -146,17 +148,23 @@ def connected_components(edges: DataFrame, src: str = "src",
     import gc
 
     from pyspark import StorageLevel
+    # self-loops stay in the PERSISTED set: they carry no connectivity
+    # (filtered out of the contraction seed below) but their nodes are
+    # part of the promised "every node appearing in edges" inventory —
+    # filtering before the persist silently dropped a node that appears
+    # ONLY in self-loop edges from the output.
     e0 = (
         edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
         .distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     n_edges = e0.count()   # exact gate; also materializes the persist
     if n_edges <= driver_finish_max_edges:
         spark = e0.sparkSession
-        pdf = e0.toPandas()   # bounded: ≤ driver_finish_max_edges rows
+        # bounded: ≤ driver_finish_max_edges rows; union-find registers
+        # self-loop nodes as their own singleton components
+        pdf = e0.toPandas()
         comp = _driver_union_find(
             zip(pdf["src"].tolist(), pdf["dst"].tolist()))
         e0.unpersist()
@@ -178,7 +186,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         return row["n"], row["h"]
 
     prev = None
-    e = e0
+    e = e0.where(F.col("src") != F.col("dst"))   # contraction seed
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         gc.collect()   # release the previous round's checkpoint blocks

@@ -288,8 +288,16 @@ def _pq_codebooks(df: DataFrame, vec: str, id_col: str, dim: int,
         df.orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_train).select(vec).collect()
     )
+    if not rows:
+        raise ValueError("pq codebooks need a non-empty corpus")
     m = np.array([r[vec] for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0   # zero-norm guard (wordless docs embed all-zero)
+    m /= nrm
+    # a sample smaller than n_centroids can only support len(m) distinct
+    # cells — clamp instead of broadcasting a short init into the slot
+    # (numpy ValueError); downstream sizes everything off books.shape
+    n_centroids = min(n_centroids, len(m))
     sub = dim // n_sub
     books = np.empty((n_sub, n_centroids, sub), dtype=np.float64)
     for s in range(n_sub):
@@ -328,7 +336,9 @@ def pq_encode(df: DataFrame, books: np.ndarray, vec: str = "embedding",
         n_sub, _, sub = bk.shape
         for vecs in batches:
             m = np.array(vecs.tolist(), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0   # zero-norm guard, as in _pq_codebooks
+            m /= nrm
             codes = np.empty((len(m), n_sub), dtype=np.int32)
             for s in range(n_sub):
                 x = m[:, s * sub:(s + 1) * sub]
@@ -358,7 +368,9 @@ def pq_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
     qrows = query_df.select(id_col, vec).collect()   # bounded query set
     qids = [r[id_col] for r in qrows]
     qm = np.array([r[vec] for r in qrows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qnrm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qnrm[qnrm == 0] = 1.0   # zero-norm guard, as in _pq_codebooks
+    qm /= qnrm
     sub = dim // n_sub
     # tables[q, s, c] = <q_s, book_s_c>
     tables = np.stack([qm[:, s * sub:(s + 1) * sub] @ books[s].T

@@ -248,7 +248,10 @@ def dup_substring_scrub(df: DataFrame, content: str = "text",
              .alias("__ivs"))
     )
 
-    words = F.filter(F.split(F.col(content), r"\s+"), lambda x: x != "")
+    # via word_array: the kept-word indices below must stay position-
+    # aligned with rolling_ngram_keys/_dup_flagged, which tokenize
+    # through the same helper
+    words = word_array(F.col(content))
     # split on \S+ yields the whitespace runs: seps[i] (0-based) is the
     # run immediately BEFORE word i — identical semantics in DuckDB's
     # regexp_split_to_array, which the oracle relies on

@@ -53,14 +53,14 @@ def test_comment_stats_counts(spark):
             "\n"
             "x = 1  # trailing comments do not count\n"
             "   // C-style indented comment\n"
-            "\t\n")  # tab-only line is NOT blank (space-only trim, both engines)
+            "\t\n")  # tab-only line IS blank ([ \t]-stripped, both engines)
     df = spark.createDataFrame([(0, text), (1, None)], ["doc_id", "text"])
     out = (comment_stats(df, "text", "doc_id")
            .toPandas().set_index("doc_id").sort_index())
     d0 = out.loc[0]
     assert d0["n_lines"] == 7  # trailing \n yields a final empty line
     assert d0["comment_lines"] == 3
-    assert d0["blank_lines"] == 2  # the '' line + final empty; tab line excluded
+    assert d0["blank_lines"] == 3  # the '' line + final empty + tab-only
     assert abs(d0["comment_frac"] - round(3 / 7, 4)) < 1e-9
     d1 = out.loc[1]
     assert d1["n_lines"] == 1 and d1["blank_lines"] == 1
@@ -86,3 +86,34 @@ def test_import_census(spark):
     assert out.loc["collections", "n_docs"] == 2
     assert out.loc["numpy", "n_imports"] == 1
     assert out.loc["x", "n_docs"] == 1
+
+
+def test_tab_indented_comments_and_blanks(spark):
+    """Tab-indented (Go/Makefile-style) comment lines count: indentation
+    is stripped with an explicit [ \\t] class — both engines' one-arg
+    ltrim strip spaces only, which missed every tab-indented comment."""
+    text = "\t// c\n\t# d\n  # e\n\tcode()\n\t \n\nx = 1"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = comment_stats(df, "text", "doc_id").first()
+    assert r["n_lines"] == 7
+    assert r["comment_lines"] == 3          # two tab-indented + one spaced
+    assert r["blank_lines"] == 2            # "\t \n" and ""
+    assert r["comment_frac"] == round(3 / 7, 4)
+
+
+def test_normalize_explicit_ws_class_keeps_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the fingerprint uses
+    an explicit class so both engines agree: VT is NOT collapsed."""
+    df = spark.createDataFrame([(1, "a\x0bb \t c")],
+                               "doc_id long, text string")
+    got = df.select(
+        normalize_code_col("text").alias("n")).first()["n"]
+    assert got == "I\x0bI I"
+    import duckdb
+    oracle = duckdb.sql(r"""
+      SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+        'a' || chr(11) || 'b ' || chr(9) || ' c',
+        '[A-Za-z_][A-Za-z0-9_]*', 'I', 'g'),
+        '[0-9]+(\.[0-9]+)?', 'N', 'g'),
+        '[ \t\n\r\f]+', ' ', 'g'))""").fetchone()[0]
+    assert got == oracle

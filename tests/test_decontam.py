@@ -208,3 +208,22 @@ def test_profile_longest_run_and_fraction(spark):
     # doc 1: 24 words -> 17 grams; 2 matched, separated
     assert d1["n_grams"] == 17 and d1["n_pos_hits"] == 2
     assert d1["longest_run"] == 1
+
+
+def test_semantic_empty_benchmark_all_clean(spark):
+    """An empty benchmark set (e.g. the bench filter matched nothing)
+    must yield the all-clean result — max_cos NULL, contaminated false
+    for every corpus row — not a driver-side numpy AxisError."""
+    from pyspark.sql import functions as F
+
+    from dqm_spark.operators.decontam import semantic_decontaminate
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    bench = corpus.filter(F.lit(False))
+    rows = semantic_decontaminate(corpus, bench).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["max_cos"] is None
+        assert r["nearest_bench_id"] is None
+        assert r["contaminated"] is False

@@ -85,3 +85,16 @@ def test_empty_edges_both_paths(spark):
     for gate in (1_000_000, 0):
         assert connected_components(
             e, driver_finish_max_edges=gate).count() == 0
+
+
+def test_self_loop_only_node_appears_both_paths(spark):
+    """A node appearing ONLY in self-loop edges is part of the promised
+    node inventory: it must come back as its own singleton component
+    from both the driver union-find and the iterative contraction."""
+    e = spark.createDataFrame(pd.DataFrame(
+        {"src": [7, 1], "dst": [7, 2]}))
+    for gate in (1_000_000, 0):
+        got = {r.node: r.component
+               for r in connected_components(
+                   e, driver_finish_max_edges=gate).collect()}
+        assert got == {7: 7, 1: 1, 2: 1}, (gate, got)

@@ -98,3 +98,19 @@ def test_ivf_with_trained_centroids_keeps_recall(spark):
     r_init, r_trained = _recall(init), _recall(trained)
     assert r_trained >= r_init - 0.05, (r_trained, r_init)
     assert r_trained >= 0.45
+
+
+def test_zero_vector_does_not_poison_centroids(spark):
+    """A wordless doc embeds as all-zero (with_hashed_embedding's
+    documented sentinel); the 0/0 normalization would NaN-poison the
+    centroid sums and collapse every later assignment — the guard keeps
+    both the centroids and the inertia finite."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(99_999, [0.0] * dim)], "vec_id long, embedding array<float>")
+    poisoned = emb.unionByName(zero)
+    cents = train_kmeans(poisoned, n_cells=4, max_iter=4)
+    assert np.isfinite(cents).all()
+    assert np.isfinite(kmeans_inertia(poisoned, cents))

@@ -107,3 +107,15 @@ def test_pq_codes_shape(emb):
     row = pq_encode(emb.limit(20), books).select("pq_codes").first()
     codes = row["pq_codes"]
     assert len(codes) == 8 and all(0 <= c < 256 for c in codes)
+
+
+def test_pq_small_corpus_fewer_rows_than_centroids(emb, queries):
+    from dqm_spark.operators.similarity import pq_topk
+
+    """A corpus smaller than n_centroids must clamp the codebook size
+    (books.shape drives everything downstream), not raise a numpy
+    broadcast error from a short init slice."""
+    small = emb.filter(emb.vec_id < 40)
+    out = pq_topk(small, queries.filter(queries.vec_id < 2), k=5).toPandas()
+    assert len(out) > 0
+    assert (out.groupby("query_id")["rank"].max() <= 5).all()
