@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "doc_snapshot_diff", "doc_nfc_normalize",
     "doc_decontam_profile", "doc_cluster_elect",
     "doc_leakage_safe_split", "doc_temperature_mixture",
+    "code_minified_census", "code_vendored_census",
 ]
 
 
@@ -97,6 +98,11 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
+            # progress bars are \r-laced lines with no trailing \n; if a
+            # harness merges stderr into stdout they'd share the final
+            # "line" with the JSON contract object below — keep the
+            # channel clean by construction
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -142,3 +142,101 @@ def import_census(df: DataFrame, content: str = "text",
               .agg(F.count(F.lit(1)).alias("n_docs")), "module")
         .select("module", "n_docs", "n_imports")
     )
+
+
+# single-char whitespace class for the ws-mass measure (explicit class,
+# Java regex == RE2 — see the module-header note on \s divergence)
+_WS_CHAR_RE = "[ \\t\\n\\r\\f]"
+
+
+def minified_stats(df: DataFrame, content: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_chars: int = 200, avg_line_thresh: float = 200.0,
+                   max_line_thresh: int = 500,
+                   ws_frac_thresh: float = 0.05) -> DataFrame:
+    """Minified/obfuscated-code detector: (id, n_chars, n_lines,
+    max_line_len, avg_line_len, ws_frac, is_minified). Minifiers strip
+    exactly the two things this measures — line breaks (avg/max line
+    length explode) and whitespace mass (ws_frac collapses toward 0) —
+    so the flag is `n_chars >= min_chars AND ws_frac < thresh AND
+    (avg_line >= thresh OR max_line >= thresh)`. Minified bundles are
+    the classic code-corpus poison: near-zero training value, enormous
+    token counts, and they sail through comment/blank rules (no lines
+    to census). Handwritten one-liner configs stay unflagged via the
+    min_chars floor; normal prose/code keeps ws_frac ~0.1-0.2.
+
+    The flag is computed from UNROUNDED values (both engines derive
+    identical IEEE doubles from identical integers); the reported
+    avg_line_len/ws_frac are rounded to 4 for engine-reproducible
+    output. NULL text coalesces to '' (one empty line, never flagged).
+
+    Scale shape: pure per-row codegen projection — two regexp_replace
+    passes and an array max, zero shuffle, zero Python.
+
+    dqm analog: the reference's per-record integrity checks that gate a
+    record out before any metric is computed (check_empty,
+    /root/reference/src/algs/STD.cpp early-outs)."""
+    c = F.coalesce(F.col(content), F.lit(""))
+    lines = F.split(c, "\n")
+    n_chars = F.length(c).cast("long")
+    n_lines = F.size(lines).cast("long")
+    max_line = F.array_max(F.transform(lines, F.length)).cast("long")
+    avg_line = n_chars / n_lines
+    ws = n_chars - F.length(F.regexp_replace(c, _WS_CHAR_RE, ""))
+    wsf = ws / F.greatest(n_chars, F.lit(1))
+    flag = ((n_chars >= F.lit(min_chars))
+            & (wsf < F.lit(ws_frac_thresh))
+            & ((avg_line >= F.lit(avg_line_thresh))
+               | (max_line >= F.lit(max_line_thresh))))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        max_line.alias("max_line_len"),
+        F.round(avg_line, 4).alias("avg_line_len"),
+        F.round(wsf, 4).alias("ws_frac"),
+        flag.cast("int").alias("is_minified"),
+    )
+
+
+# vendored-tree path segments + minified-asset suffix. Explicit
+# alternation (no \b): a segment match requires the directory name to be
+# exactly one of these between separators, so `my_vendor_tools/` does
+# NOT match. Unanchored search semantics (rlike / regexp_matches) are
+# identical in Java regex and RE2 for these patterns.
+_VENDOR_PATH_RE = ("(^|/)(vendor|vendors|third_party|thirdparty|"
+                   "node_modules|bower_components|external|deps)/")
+_MIN_ASSET_RE = "\\.min\\.(js|css)$"
+
+
+def is_vendored_col(path) -> Column:
+    """True iff the path sits under a recognized vendored/third-party
+    directory or is a minified web asset. NULL path -> false."""
+    p = F.coalesce(F.col(path) if isinstance(path, str) else path,
+                   F.lit(""))
+    return p.rlike(_VENDOR_PATH_RE) | p.rlike(_MIN_ASSET_RE)
+
+
+def vendored_census(df: DataFrame, path_col: str = "path",
+                    repo_col: str = "repo") -> DataFrame:
+    """Per-repo vendored-code census: (repo, n_files, n_vendored,
+    vendored_frac). Vendored/third-party trees are someone ELSE's code
+    checked into the repo — training on them double-counts the upstream
+    project and misattributes style to the vendoring repo, so curation
+    pipelines drop or down-weight them (The Stack's data card excludes
+    vendored dirs with exactly this kind of path filter). The census is
+    the monitoring face: a repo whose vendored_frac jumps is importing a
+    tree, not writing code.
+
+    Scale shape: one codegen'd regex projection + one repo-keyed hash
+    agg (partial combine map-side; no hot key beyond repo sizes, which
+    the salted-stats family already handles for the skewed case).
+
+    dqm analog: drop-rate-by-rule metric aggregation
+    (/root/reference/src/DQMProcessor.cpp counters per algorithm)."""
+    v = is_vendored_col(path_col).cast("int")
+    return (df.groupBy(F.col(repo_col).alias("repo"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum(v).cast("long").alias("n_vendored"))
+            .withColumn("vendored_frac",
+                        F.round(F.col("n_vendored") / F.col("n_files"), 4)))

@@ -101,6 +101,62 @@ def test_tab_indented_comments_and_blanks(spark):
     assert r["comment_frac"] == round(3 / 7, 4)
 
 
+def test_minified_stats_flags_stripped_not_normal(spark):
+    from dqm_spark.operators.code import minified_stats
+    normal = "def f(x):\n    return x + 1\n\n" * 20   # ws_frac ~0.3
+    minified = normal.replace("\n", "").replace(" ", "")  # 1 long line
+    short = "x=1"                                      # under min_chars
+    df = spark.createDataFrame(
+        [(0, normal), (1, minified), (2, short), (3, None)],
+        ["doc_id", "text"])
+    out = (minified_stats(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "is_minified"] == 0
+    assert out.loc[1, "is_minified"] == 1
+    assert out.loc[1, "n_lines"] == 1 and out.loc[1, "ws_frac"] == 0.0
+    assert out.loc[2, "is_minified"] == 0          # min_chars floor
+    assert out.loc[3, "n_chars"] == 0 and out.loc[3, "is_minified"] == 0
+
+
+def test_minified_long_single_line_with_normal_ws_not_flagged(spark):
+    """A long natural-language paragraph (one line, ws_frac ~0.15) must
+    NOT be flagged: the whitespace-mass gate is what separates minified
+    code from prose."""
+    from dqm_spark.operators.code import minified_stats
+    prose = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    df = spark.createDataFrame([(0, prose)], ["doc_id", "text"])
+    r = minified_stats(df, "text", "doc_id").first()
+    assert r["n_lines"] == 1 and r["n_chars"] >= 200
+    assert r["is_minified"] == 0 and r["ws_frac"] > 0.05
+
+
+def test_vendored_census_segments_and_assets(spark):
+    from dqm_spark.operators.code import is_vendored_col, vendored_census
+    rows = [
+        ("r1", "src/app/main.py", 0),
+        ("r1", "vendor/lib/x.py", 1),
+        ("r1", "a/node_modules/y/index.js", 1),
+        ("r1", "my_vendor_tools/z.py", 0),     # substring must NOT match
+        ("r1", "static/app.min.js", 1),
+        ("r1", "static/app.min.jsx", 0),       # suffix is anchored
+        ("r2", "third_party/q.c", 1),
+        ("r2", None, 0),
+    ]
+    df = spark.createDataFrame(
+        [(r, p) for r, p, _ in rows], ["repo", "path"])
+    got = {(r["repo"], r["path"]): r["v"] for r in
+           df.select("repo", "path",
+                     is_vendored_col("path").cast("int").alias("v"))
+           .collect()}
+    for r, p, want in rows:
+        assert got[(r, p)] == want, (r, p)
+    cen = (vendored_census(df, "path", "repo")
+           .toPandas().set_index("repo").sort_index())
+    assert cen.loc["r1", "n_files"] == 6 and cen.loc["r1", "n_vendored"] == 3
+    assert cen.loc["r1", "vendored_frac"] == 0.5
+    assert cen.loc["r2", "n_files"] == 2 and cen.loc["r2", "n_vendored"] == 1
+
+
 def test_normalize_explicit_ws_class_keeps_vertical_tab(spark):
     """Java's \\s includes \\x0B, RE2's does not — the fingerprint uses
     an explicit class so both engines agree: VT is NOT collapsed."""
