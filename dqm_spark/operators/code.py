@@ -144,11 +144,6 @@ def import_census(df: DataFrame, content: str = "text",
     )
 
 
-# single-char whitespace class for the ws-mass measure (explicit class,
-# Java regex == RE2 — see the module-header note on \s divergence)
-_WS_CHAR_RE = "[ \\t\\n\\r\\f]"
-
-
 def minified_stats(df: DataFrame, content: str = "text",
                    id_col: str = "doc_id", *,
                    min_chars: int = 200, avg_line_thresh: float = 200.0,
@@ -182,7 +177,10 @@ def minified_stats(df: DataFrame, content: str = "text",
     n_lines = F.size(lines).cast("long")
     max_line = F.array_max(F.transform(lines, F.length)).cast("long")
     avg_line = n_chars / n_lines
-    ws = n_chars - F.length(F.regexp_replace(c, _WS_CHAR_RE, ""))
+    # whitespace mass via the module's ONE whitespace class (_WS_RE, the
+    # run-quantified form — deleting runs removes the same byte count as
+    # deleting chars, with fewer match events on the per-row hot path)
+    ws = n_chars - F.length(F.regexp_replace(c, _WS_RE, ""))
     wsf = ws / F.greatest(n_chars, F.lit(1))
     flag = ((n_chars >= F.lit(min_chars))
             & (wsf < F.lit(ws_frac_thresh))
