@@ -106,3 +106,17 @@ def test_asof_range_session_plan_budgets(spark):
 
     sess = em.q_events_sessionize(spark, SF)
     assert_plan(sess, max_exchanges=2)  # one window partition + final agg
+
+
+def test_code_census_plan_budgets(spark):
+    """The two code-axis censuses keep their documented shuffle posture:
+    minified = pure per-row projection (the ONLY exchange is the
+    presentation sort's range partitioning), vendored = one repo-keyed
+    hash agg + the presentation sort, partial combine present."""
+    import __spark_entry__ as em
+    mini = em.q_code_minified_census(spark, SF)
+    assert_plan(mini, max_exchanges=1, max_arrow_evals=0)
+
+    ven = em.q_code_vendored_census(spark, SF)
+    assert_plan(ven, max_exchanges=2, max_arrow_evals=0)
+    assert "partial_count" in plan_string(ven)
