@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "doc_snapshot_diff", "doc_nfc_normalize",
     "doc_decontam_profile", "doc_cluster_elect",
     "doc_leakage_safe_split", "doc_temperature_mixture",
-    "code_minified_census", "code_vendored_census",
+    "code_minified_census", "code_vendored_census", "code_block_dedup",
 ]
 
 

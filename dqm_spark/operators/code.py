@@ -34,7 +34,7 @@ window, no hot key); the comment profile is a pure per-row projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # identifier first (an ident may contain digits but cannot start with
@@ -238,3 +238,90 @@ def vendored_census(df: DataFrame, path_col: str = "path",
                  F.sum(v).cast("long").alias("n_vendored"))
             .withColumn("vendored_frac",
                         F.round(F.col("n_vendored") / F.col("n_files"), 4)))
+
+
+# top-level block boundary: a def/class/function-style header at column 0.
+# Explicit alternation + literal space, anchored per line (lines are split
+# before matching, so '^' means line start in BOTH engines — no multiline
+# flag divergence to worry about).
+_BLOCK_START_RE = "^(def |class |function |func |fn )"
+
+
+def block_dedup(df: DataFrame, content: str = "text",
+                id_col: str = "doc_id", *,
+                min_len: int = 20) -> DataFrame:
+    """Cross-doc FUNCTION-BLOCK dedup — the redundancy unit between
+    line-level and doc-level for a code corpus: a copied function's
+    lines are individually common enough that line dedup (min_len gate)
+    misses or mangles them, and the surrounding file differs so doc
+    dedup never fires; the function itself is the thing pasted between
+    repos. A block = a top-level `def `/`class `/`function ` header line
+    plus everything until the next header (the preamble before the
+    first header is block 0). Every byte-identical dedupable block
+    (header-led AND length >= min_len) is kept only at its first corpus
+    occurrence — smallest (doc, start line) — and documents are
+    reassembled; non-header blocks and short blocks are never touched.
+
+    Returns (id, n_blocks, n_blocks_kept, dedup_content, dedup_sha) —
+    one row per doc with >= 1 line (NULL-text docs are absent, matching
+    cross_doc_line_dedup).
+
+    Scale shape: block assignment is a DOC-LOCAL running sum (window
+    keyed by unique doc id — no hot key can form, same posture as the
+    substring scrub's islands); winner election is the two-stage
+    `groupBy(block).agg(min(struct))` hash agg with map-side partial
+    combine, so a function pasted into 10^8 files collapses to one row
+    per map task (never a corpus-wide window); the join back is a plain
+    equi-join on the block value with AQE skew-split cover.
+
+    dqm analog: the reference deduplicates repeated fragment payloads
+    per link before analysis (decode<T> keyed frame maps,
+    /root/reference/include/dqm/Decoder.hpp:29-44) — first occurrence
+    is the record of note.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "u"))
+    is_start = (F.col("pos") == 0) | F.col("u").rlike(_BLOCK_START_RE)
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    blk = lines.withColumn("__b", F.sum(is_start.cast("int")).over(w))
+    blocks = (
+        blk.groupBy(id_col, "__b")
+        .agg(F.min("pos").alias("bstart"),
+             F.concat_ws(
+                 "\n",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                     lambda s: s["u"])).alias("btext"))
+    )
+    dedupable = (F.col("btext").rlike(_BLOCK_START_RE)
+                 & (F.length("btext") >= min_len))
+    winners = (
+        blocks.filter(dedupable)
+        .groupBy("btext")
+        .agg(F.min(F.struct(F.col(id_col).alias("wid"),
+                            F.col("bstart").alias("wstart"))).alias("w"))
+    )
+    kept = (
+        blocks.join(winners, "btext", "left")
+        .filter(~dedupable
+                | ((F.col("w.wid") == F.col(id_col))
+                   & (F.col("w.wstart") == F.col("bstart"))))
+    )
+    n_blocks = blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocks_kept"),
+             F.concat_ws(
+                 "\n",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("bstart",
+                                                          "btext"))),
+                     lambda s: s["btext"])).alias("dedup_content"))
+        .join(n_blocks, id_col)
+        .select(F.col(id_col), "n_blocks", "n_blocks_kept",
+                "dedup_content",
+                F.sha2("dedup_content", 256).alias("dedup_sha"))
+    )

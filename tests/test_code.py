@@ -157,6 +157,53 @@ def test_vendored_census_segments_and_assets(spark):
     assert cen.loc["r2", "n_files"] == 2 and cen.loc["r2", "n_vendored"] == 1
 
 
+def test_block_dedup_shared_function_kept_once(spark):
+    """A function pasted into three files survives only in the smallest
+    (doc, start); preamble and unique blocks are untouched; a doc-level
+    difference elsewhere does not shield the copied block."""
+    from dqm_spark.operators.code import block_dedup
+    shared = "def util(x):\n    return x * 41"
+    docs = [
+        (0, f"# a\nimport os\n{shared}\ndef a():\n    pass1234567890"),
+        (1, f"# b\n{shared}\ndef b():\n    pass1234567890"),
+        (2, f"{shared}\ndef c():\n    pass1234567890"),
+        (3, None),                      # NULL doc absent from output
+        (4, "just prose, no headers"),  # single non-function block
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = (block_dedup(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert 3 not in out.index
+    # doc 0 wins the shared block (smallest doc_id)
+    assert out.loc[0, "n_blocks"] == 3 and out.loc[0, "n_blocks_kept"] == 3
+    assert shared in out.loc[0, "dedup_content"]
+    # docs 1-2 lose exactly the shared block, keep their unique one
+    for i in (1, 2):
+        assert out.loc[i, "n_blocks_kept"] == out.loc[i, "n_blocks"] - 1
+        assert shared not in out.loc[i, "dedup_content"]
+        assert "pass1234567890" in out.loc[i, "dedup_content"]
+    # doc 2's preamble IS the shared block (it starts at line 0 -> block 0
+    # is header-led and identical) — still deduped only against doc 0/1?
+    # No: doc 0/1's shared block text is identical to doc 2's block 0
+    # ('def util...' lines), so one corpus-wide winner exists.
+    assert out.loc[4, "n_blocks"] == 1 and out.loc[4, "n_blocks_kept"] == 1
+    assert out.loc[4, "dedup_content"] == "just prose, no headers"
+
+
+def test_block_dedup_short_blocks_never_touched(spark):
+    """Header-led blocks under min_len dedupe nowhere (braces/stub
+    guards), and identical non-header preambles are never deduped."""
+    from dqm_spark.operators.code import block_dedup
+    pre = "# same preamble\nimport os"
+    docs = [(0, f"{pre}\ndef s():1"), (1, f"{pre}\ndef s():1")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = (block_dedup(df, "text", "doc_id", min_len=20)
+           .toPandas().set_index("doc_id").sort_index())
+    # 'def s():1' is 9 chars < 20 -> kept in BOTH docs; preamble kept too
+    assert (out["n_blocks_kept"] == out["n_blocks"]).all()
+    assert all("def s():1" in t for t in out["dedup_content"])
+
+
 def test_normalize_explicit_ws_class_keeps_vertical_tab(spark):
     """Java's \\s includes \\x0B, RE2's does not — the fingerprint uses
     an explicit class so both engines agree: VT is NOT collapsed."""
