@@ -240,6 +240,46 @@ def vendored_census(df: DataFrame, path_col: str = "path",
                         F.round(F.col("n_vendored") / F.col("n_files"), 4)))
 
 
+def identifier_stats(df: DataFrame, content: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc identifier-lexicon census: (id, n_idents,
+    n_distinct_idents, avg_ident_len, short_ident_frac, ident_diversity)
+    — the LEXICAL face of generated/obfuscated-code detection,
+    complementing minified_stats' line/whitespace geometry: an
+    obfuscator renames the lexicon to one-letter tokens
+    (short_ident_frac spikes), a code generator emits thousands of
+    near-identical symbols (ident_diversity = distinct/total collapses),
+    and both can keep perfectly normal line geometry. Identifiers are
+    `[A-Za-z_][A-Za-z0-9_]*` runs — the same explicit class as the clone
+    fingerprint (_IDENT_RE), so both engines tokenize identically.
+
+    avg_ident_len / fractions are rounded to 4 (engine-reproducible);
+    docs with zero identifiers report 0 counts and NULL ratios. Pure
+    per-row codegen projection (regexp_extract_all + array HOFs), zero
+    shuffle, zero Python.
+
+    dqm analog: the reference's per-channel value-distribution census
+    feeding threshold rules (/root/reference/src/algs/Hist.cpp) — a
+    bounded per-record profile, not a corpus aggregate."""
+    idents = F.regexp_extract_all(
+        F.coalesce(F.col(content), F.lit("")), F.lit(_IDENT_RE), F.lit(0))
+    n = F.size(idents).cast("long")
+    nd = F.size(F.array_distinct(idents)).cast("long")
+    total_len = F.aggregate(
+        idents, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    short = F.size(F.filter(idents, lambda w: F.length(w) == 1)).cast("long")
+    safe_n = F.when(n > 0, n)   # NULL ratios on ident-free docs
+    return df.select(
+        F.col(id_col),
+        n.alias("n_idents"),
+        nd.alias("n_distinct_idents"),
+        F.round(total_len / safe_n, 4).alias("avg_ident_len"),
+        F.round(short / safe_n, 4).alias("short_ident_frac"),
+        F.round(nd / safe_n, 4).alias("ident_diversity"),
+    )
+
+
 # top-level block boundary: a def/class/function-style header at column 0.
 # Explicit alternation + literal space, anchored per line (lines are split
 # before matching, so '^' means line start in BOTH engines — no multiline

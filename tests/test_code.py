@@ -157,6 +157,36 @@ def test_vendored_census_segments_and_assets(spark):
     assert cen.loc["r2", "n_files"] == 2 and cen.loc["r2", "n_vendored"] == 1
 
 
+def test_identifier_stats_obfuscation_signals(spark):
+    """Renaming obfuscation spikes short_ident_frac; generated-code
+    symbol repetition collapses ident_diversity; ident-free and NULL
+    docs report 0 counts with NULL ratios."""
+    from dqm_spark.operators.code import identifier_stats
+    normal = "def total(items):\n    acc = items.price + tax_rate"
+    obfus = "x(y):\n    z = y.a + b"  # all idents 1-char (keywords like
+    #                                   'def' count as identifiers — the
+    #                                   census is language-naive)
+    genned = " ".join(["row_value"] * 50)          # 1 distinct / 50 total
+    df = spark.createDataFrame(
+        [(0, normal), (1, obfus), (2, genned), (3, "123 + 456"), (4, None)],
+        ["doc_id", "text"])
+    out = (identifier_stats(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "short_ident_frac"] == 0.0
+    # 'items' repeats: 6 distinct of 7 total
+    assert out.loc[0, "ident_diversity"] == round(6 / 7, 4)
+    assert out.loc[1, "short_ident_frac"] == 1.0
+    assert out.loc[2, "n_idents"] == 50 and out.loc[2, "n_distinct_idents"] == 1
+    assert out.loc[2, "ident_diversity"] == round(1 / 50, 4)
+    # no identifiers at all -> 0 counts, NULL ratios
+    import pandas as pd
+    for i in (3, 4):
+        assert out.loc[i, "n_idents"] == 0
+        assert pd.isna(out.loc[i, "avg_ident_len"])
+    assert out.loc[0, "avg_ident_len"] == round(
+        (3 + 5 + 5 + 3 + 5 + 5 + 8) / 7, 4)  # def,total,items,acc,items,price,tax_rate
+
+
 def test_block_dedup_shared_function_kept_once(spark):
     """A function pasted into three files survives only in the smallest
     (doc, start); preamble and unique blocks are untouched; a doc-level

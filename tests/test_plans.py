@@ -117,6 +117,9 @@ def test_code_census_plan_budgets(spark):
     mini = em.q_code_minified_census(spark, SF)
     assert_plan(mini, max_exchanges=1, max_arrow_evals=0)
 
+    ident = em.q_code_identifier_stats(spark, SF)
+    assert_plan(ident, max_exchanges=1, max_arrow_evals=0)
+
     ven = em.q_code_vendored_census(spark, SF)
     assert_plan(ven, max_exchanges=2, max_arrow_evals=0)
     assert "partial_count" in plan_string(ven)
