@@ -304,7 +304,11 @@ def block_dedup(df: DataFrame, content: str = "text",
 
     Returns (id, n_blocks, n_blocks_kept, dedup_content, dedup_sha) —
     one row per doc with >= 1 line (NULL-text docs are absent, matching
-    cross_doc_line_dedup).
+    cross_doc_line_dedup). A doc whose EVERY block is eliminated (the
+    whole file is one already-seen function) still gets its row, with
+    n_blocks_kept = 0 and empty dedup_content — dropping it would make
+    a fully-redundant doc indistinguishable from a NULL/absent one
+    downstream.
 
     Scale shape: block assignment is a DOC-LOCAL running sum (window
     keyed by unique doc id — no hot key can form, same posture as the
@@ -351,7 +355,7 @@ def block_dedup(df: DataFrame, content: str = "text",
     )
     n_blocks = blocks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"))
-    return (
+    kept_agg = (
         kept.groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_blocks_kept"),
              F.concat_ws(
@@ -360,8 +364,15 @@ def block_dedup(df: DataFrame, content: str = "text",
                      F.array_sort(F.collect_list(F.struct("bstart",
                                                           "btext"))),
                      lambda s: s["btext"])).alias("dedup_content"))
-        .join(n_blocks, id_col)
-        .select(F.col(id_col), "n_blocks", "n_blocks_kept",
-                "dedup_content",
-                F.sha2("dedup_content", 256).alias("dedup_sha"))
+    )
+    # left join from the per-doc census: a doc with zero surviving
+    # blocks keeps its row (kept=0, empty content) instead of vanishing
+    return (
+        n_blocks.join(kept_agg, id_col, "left")
+        .select(F.col(id_col), "n_blocks",
+                F.coalesce("n_blocks_kept",
+                           F.lit(0).cast("long")).alias("n_blocks_kept"),
+                F.coalesce("dedup_content",
+                           F.lit("")).alias("dedup_content"))
+        .withColumn("dedup_sha", F.sha2("dedup_content", 256))
     )

@@ -220,6 +220,25 @@ def test_block_dedup_shared_function_kept_once(spark):
     assert out.loc[4, "dedup_content"] == "just prose, no headers"
 
 
+def test_block_dedup_fully_redundant_doc_keeps_row(spark):
+    """A doc that IS one already-seen function (no preamble, no unique
+    block) must not vanish: it reports n_blocks_kept=0 with empty
+    content, so downstream can tell 'fully redundant' from 'NULL/absent'
+    — at corpus scale whole-file paste-jobs are common."""
+    from dqm_spark.operators.code import block_dedup
+    shared = "def util(x):\n    return x * 41"
+    docs = [(0, f"# a\n{shared}"), (1, shared)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = (block_dedup(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    # doc 0 wins (smallest doc_id); doc 1 is the shared block alone
+    assert out.loc[1, "n_blocks"] == 1
+    assert out.loc[1, "n_blocks_kept"] == 0
+    assert out.loc[1, "dedup_content"] == ""
+    import hashlib
+    assert out.loc[1, "dedup_sha"] == hashlib.sha256(b"").hexdigest()
+
+
 def test_block_dedup_short_blocks_never_touched(spark):
     """Header-led blocks under min_len dedupe nowhere (braces/stub
     guards), and identical non-header preambles are never deduped."""
