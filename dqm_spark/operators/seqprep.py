@@ -1,0 +1,144 @@
+"""Training-sequence preparation for code corpora: FIM (fill-in-the-
+middle) transformation and repository-level context concatenation.
+
+Both are standard final-mile steps between a filtered code corpus and a
+trainer: FIM rewrites a deterministic fraction of documents into
+``prefix / suffix / middle`` sentinel form so the model learns infilling
+(Bavarian et al., "Efficient Training of Language Models to Fill in the
+Middle", 2022 — PSM mode), and repo-level concatenation groups files of
+one repository into a single ordered context document (StarCoder2-style
+repo packing) so the model sees cross-file structure.
+
+Engine-portable determinism: all randomness (whether a doc is FIM'd,
+where the two cut points fall) derives from md5 of the caller's key —
+the same first-8-hex-chars-as-uint32 construction as
+``sampling._keep_hash`` — so re-runs, retries, different partitionings,
+and the DuckDB oracle all see byte-identical output. Cut points use
+``substr`` 1-based codepoint semantics, which Spark and DuckDB share
+(already relied on by ``packing.chunk_documents``'s oracle).
+
+dqm analog: the reference re-frames records between readout and
+analysis (fixed-frame windowing + per-link reassembly,
+/root/reference/include/dqm/Decoder.hpp) — deterministic structural
+transforms, not content edits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _keep_hash
+from .topk import grouped_topk
+
+# SantaCoder/StarCoder-family sentinel spellings (public tokenizer vocab)
+FIM_PREFIX = "<|fim_prefix|>"
+FIM_SUFFIX = "<|fim_suffix|>"
+FIM_MIDDLE = "<|fim_middle|>"
+FILE_SEP = "<|file_sep|>"
+
+
+def _hash_mod(key: Column, salt: str, modulus: Column) -> Column:
+    """Uniform value in [0, modulus) from md5(salt || key) — the shared
+    keep-hash formula, reused so FIM cuts are reproducible anywhere the
+    sampling hash is."""
+    return _keep_hash(key, salt) % modulus
+
+
+def fim_transform(df: DataFrame, content: str, key: Column, *,
+                  rate_pct: int = 50, salt: str = "fim",
+                  id_cols: list[str] | None = None) -> DataFrame:
+    """PSM fill-in-the-middle rewrite of a deterministic `rate_pct`% of
+    documents. For a selected doc two cut points split the text into
+    prefix / middle / suffix and the emitted training text is
+
+        <|fim_prefix|> prefix <|fim_suffix|> suffix <|fim_middle|> middle
+
+    (PSM: the model is trained to continue with the middle). Unselected
+    docs pass through verbatim with ``fim_applied = false``.
+
+    Cut derivation (all in [0, n] so empty prefix/middle/suffix are all
+    reachable, matching the paper's uniform character-level splits):
+    ``p1 = H1 % (n+1)``, ``m = H2 % (n - p1 + 1)`` with H1/H2 two
+    salted md5 draws off `key`; prefix = text[1..p1], middle the next
+    `m` codepoints, suffix the rest. Reconstruction invariant:
+    ``prefix || middle || suffix == text`` always (unit-tested,
+    including astral-plane codepoints).
+
+    Output: `id_cols` (default: every input column except `content`) +
+    (fim_applied, fim_text). NULL content passes through unselected
+    (fim_applied = false, fim_text = NULL) — a NULL doc has no cut
+    points and must stay visibly NULL rather than become sentinel soup.
+
+    Scale shape (100 TB): a pure per-row codegen projection — md5 +
+    substr + concat, zero shuffle, zero Python, composes with scan
+    pruning; the sentinel strings add O(1) bytes per doc.
+    """
+    if not (0 <= rate_pct <= 100):
+        raise ValueError(f"rate_pct must be in [0, 100], got {rate_pct}")
+    c = F.col(content)
+    n = F.length(c)
+    selected = (c.isNotNull()
+                & (_hash_mod(key, salt + ":sel", F.lit(100)) < rate_pct))
+    p1 = _hash_mod(key, salt + ":p1", n + F.lit(1))
+    m = _hash_mod(key, salt + ":m", n - p1 + F.lit(1))
+    prefix = F.substring(c, F.lit(1), p1)
+    middle = F.substring(c, p1 + F.lit(1), m)
+    suffix = F.substring(c, p1 + m + F.lit(1), n)
+    fim = F.concat(F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+                   F.lit(FIM_MIDDLE), middle)
+    keep = id_cols if id_cols is not None \
+        else [x for x in df.columns if x != content]
+    return df.select(
+        *keep,
+        selected.alias("fim_applied"),
+        F.when(selected, fim).otherwise(c).alias("fim_text"),
+    )
+
+
+def repo_context_concat(df: DataFrame, content: str, repo_col: str,
+                        path_col: str, *, max_files: int = 64,
+                        sep: str = FILE_SEP) -> DataFrame:
+    """One context document per repository: the repo's files concatenated
+    in path order, each led by ``sep || path || '\\n'`` — repo-level
+    training-context packing (files of one repo in one sequence so the
+    model sees imports resolve and call sites meet definitions).
+
+    Deterministic truncation: only the `max_files` lexicographically
+    smallest paths participate (ties on path break on content, so
+    byte-identical inputs elect identically); files past the budget and
+    the files' NULL contents (treated as empty strings — presence still
+    contributes the header) never make the cut silently different
+    across runs. Output: (repo, n_files, n_chars, context, context_sha)
+    with n_chars = length(context).
+
+    Scale shape (100 TB): the budget is enforced by the skew-safe
+    two-stage grouped top-k (topk.grouped_topk) — a 10^8-file monorepo
+    contributes at most k rows per salt bucket to the final per-repo
+    rank, never one giant window partition — and the concat aggregates
+    a per-repo row set already bounded to `max_files`, so collect_list
+    memory is bounded by max_files × file size regardless of repo
+    fan-in. One salted rank + one bounded hash agg; no corpus-wide
+    window, no pair enumeration.
+    """
+    if max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    c = F.coalesce(F.col(content), F.lit(""))
+    piece = F.concat(F.lit(sep), F.col(path_col), F.lit("\n"), c)
+    tmp = df.select(F.col(repo_col).alias("repo"),
+                    F.col(path_col).alias("__p"), piece.alias("__piece"))
+    bounded = grouped_topk(tmp, "repo",
+                           [F.asc("__p"), F.asc("__piece")], k=max_files)
+    ctx = F.concat_ws(
+        "", F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__piece"))),
+            lambda s: s["__piece"]))
+    return (
+        bounded.groupBy("repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+             ctx.alias("context"))
+        .select("repo", "n_files",
+                F.length("context").cast("long").alias("n_chars"),
+                "context",
+                F.sha2("context", 256).alias("context_sha"))
+    )

@@ -1,0 +1,119 @@
+"""FIM transform + repo-level context concatenation (operators/seqprep).
+
+The FIM invariant that matters is reconstruction: for every selected doc
+``prefix || middle || suffix`` must equal the original text — a cut that
+loses or duplicates even one codepoint poisons the training pair. The
+repo-concat invariants are deterministic path-order, exact truncation at
+max_files, and byte-exact context (sha verified against hashlib).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqm_spark.operators.seqprep import (
+    FILE_SEP, FIM_MIDDLE, FIM_PREFIX, FIM_SUFFIX,
+    fim_transform, repo_context_concat)
+
+
+def _parse_fim(s: str) -> tuple[str, str, str]:
+    assert s.startswith(FIM_PREFIX)
+    rest = s[len(FIM_PREFIX):]
+    prefix, rest = rest.split(FIM_SUFFIX, 1)
+    suffix, middle = rest.split(FIM_MIDDLE, 1)
+    return prefix, middle, suffix
+
+
+def test_fim_reconstruction_including_astral(spark):
+    """rate=100: every non-NULL doc is rewritten, and the three pieces
+    reassemble the original exactly — including astral-plane codepoints,
+    where a byte- or UTF-16-based cut would split a character."""
+    docs = [
+        (0, "def f(x):\n    return x + 1\n"),
+        (1, ""),                       # empty: sentinels only
+        (2, "emoji \U0001f600\U0001f680 tail"),
+        (3, None),                     # NULL passes through unselected
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           fim_transform(df, "text", F.col("doc_id").cast("string"),
+                         rate_pct=100).collect()}
+    originals = dict(docs)
+    for i in (0, 1, 2, 4):
+        assert out[i]["fim_applied"]
+        p, m, s = _parse_fim(out[i]["fim_text"])
+        assert p + m + s == originals[i]
+    assert not out[3]["fim_applied"] and out[3]["fim_text"] is None
+
+
+def test_fim_rate_zero_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(20)], ["doc_id", "text"])
+    out = fim_transform(df, "text", F.col("doc_id").cast("string"),
+                        rate_pct=0).collect()
+    assert all(not r["fim_applied"] for r in out)
+    assert all(r["fim_text"] == f"body {r['doc_id']}" for r in out)
+
+
+def test_fim_deterministic_across_partitionings(spark):
+    """Same rows, 1 vs 16 partitions: identical selection AND cuts —
+    the hash carries all randomness, the partitioner none."""
+    rows = [(i, f"content line {i} " * (1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    key = F.col("doc_id").cast("string")
+    a = {r["doc_id"]: r["fim_text"]
+         for r in fim_transform(df.coalesce(1), "text", key).collect()}
+    b = {r["doc_id"]: r["fim_text"]
+         for r in fim_transform(df.repartition(16), "text", key).collect()}
+    assert a == b
+    applied = sum(1 for i in a if a[i].startswith(FIM_PREFIX))
+    assert 0 < applied < 200   # rate 50: both tails nonempty
+
+
+def test_fim_rejects_bad_rate(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        fim_transform(df, "text", F.col("doc_id").cast("string"),
+                      rate_pct=101)
+
+
+def test_repo_concat_order_truncation_and_sha(spark):
+    """Files concat in path order regardless of input order; only the
+    max_files smallest paths survive; NULL content contributes its
+    header; sha matches an independent hashlib computation."""
+    rows = [
+        ("r1", "src/b.py", "bbb"),
+        ("r1", "src/a.py", "aaa"),
+        ("r1", "src/c.py", "ccc"),    # truncated at max_files=2
+        ("r2", "only.py", None),      # header-only file
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "text"])
+    out = {r["repo"]: r for r in
+           repo_context_concat(df, "text", "repo", "path",
+                               max_files=2).collect()}
+    ctx1 = (f"{FILE_SEP}src/a.py\naaa"
+            f"{FILE_SEP}src/b.py\nbbb")
+    assert out["r1"]["n_files"] == 2
+    assert out["r1"]["context"] == ctx1
+    assert out["r1"]["n_chars"] == len(ctx1)
+    assert out["r1"]["context_sha"] == hashlib.sha256(
+        ctx1.encode()).hexdigest()
+    ctx2 = f"{FILE_SEP}only.py\n"
+    assert out["r2"]["n_files"] == 1 and out["r2"]["context"] == ctx2
+
+
+def test_repo_concat_matches_plain_window_form(spark):
+    """The skew-safe two-stage budget elects the same file set as the
+    single-window definition (top-k is a merge monoid) on a corpus with
+    one hot repo."""
+    rows = [("hot", f"p{i:04d}", f"t{i}") for i in range(300)] \
+        + [("cold", "x", "y")]
+    df = spark.createDataFrame(rows, ["repo", "path", "text"])
+    out = {r["repo"]: r for r in
+           repo_context_concat(df, "text", "repo", "path",
+                               max_files=10).collect()}
+    expect = "".join(f"{FILE_SEP}p{i:04d}\nt{i}" for i in range(10))
+    assert out["hot"]["n_files"] == 10 and out["hot"]["context"] == expect
+    assert out["cold"]["n_files"] == 1
