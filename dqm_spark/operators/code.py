@@ -376,3 +376,60 @@ def block_dedup(df: DataFrame, content: str = "text",
                            F.lit("")).alias("dedup_content"))
         .withColumn("dedup_sha", F.sha2("dedup_content", 256))
     )
+
+
+# Jupyter notebook cell schema — the two fields every nbformat-4 cell
+# carries that matter for corpus extraction. `source` is pinned to the
+# array-of-lines form (nbformat's canonical on-disk layout; the writers
+# that emit a single string are normalized upstream by nbformat itself).
+_NB_SCHEMA = ("STRUCT<cells: ARRAY<STRUCT<cell_type: STRING, "
+              "source: ARRAY<STRING>>>>")
+
+# jupytext percent-format cell delimiter: the standard notebook->script
+# convention, so extracted scripts round-trip through existing tooling.
+NB_CELL_SEP = "\n# %%\n"
+
+
+def notebook_extract(df: DataFrame, content: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Jupyter-notebook -> training-script extraction (The-Stack-style
+    .ipynb processing): parse the JSON document, keep the code cells in
+    order, join each cell's source lines with newlines, and join cells
+    with the jupytext ``# %%`` delimiter. Markdown/raw cells contribute
+    to `n_cells` but not to the script — prose belongs to the text
+    corpus, not the code corpus.
+
+    Output: (id, parse_ok, n_cells, n_code_cells, script, script_sha).
+    `parse_ok` is false — and the four derived columns NULL — for
+    malformed JSON AND for valid JSON with no `cells` array (a .ipynb
+    path whose body is some other JSON object): both are "not a
+    notebook" for corpus purposes, never an error. An empty cells array
+    parses ok with 0/0 counts and an empty script.
+
+    Scale shape (100 TB): `from_json` is a JVM codegen projection —
+    zero shuffle, zero Python, composes with scan pruning; malformed
+    rows cost one failed parse, not a task retry. The script column is
+    bounded by the input document size (code cells are a subset of the
+    bytes already read).
+
+    dqm analog: the reference's typed decode of an opaque payload into
+    frames, dropping unsupported fragment types without error
+    (/root/reference/include/dqm/Decoder.hpp:45-49) — parse what you
+    recognize, count what you saw, never abort the batch.
+    """
+    j = F.from_json(F.col(content), _NB_SCHEMA)
+    cells = j["cells"]
+    parse_ok = cells.isNotNull()
+    code_texts = F.transform(
+        F.filter(cells, lambda c: c["cell_type"] == F.lit("code")),
+        lambda c: F.concat_ws("\n", c["source"]))
+    script = F.concat_ws(NB_CELL_SEP, code_texts)
+    return df.select(
+        F.col(id_col),
+        parse_ok.alias("parse_ok"),
+        F.when(parse_ok, F.size(cells).cast("long")).alias("n_cells"),
+        F.when(parse_ok,
+               F.size(code_texts).cast("long")).alias("n_code_cells"),
+        F.when(parse_ok, script).alias("script"),
+        F.when(parse_ok, F.sha2(script, 256)).alias("script_sha"),
+    )

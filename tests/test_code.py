@@ -269,3 +269,43 @@ def test_normalize_explicit_ws_class_keeps_vertical_tab(spark):
         '[0-9]+(\.[0-9]+)?', 'N', 'g'),
         '[ \t\n\r\f]+', ' ', 'g'))""").fetchone()[0]
     assert got == oracle
+
+
+def test_notebook_extract_cells_and_degraded_paths(spark):
+    """Code cells join in order with the jupytext '# %%' delimiter;
+    markdown cells count in n_cells only; escaped quotes and non-ASCII
+    survive the JSON parse byte-exactly; malformed JSON, non-notebook
+    JSON, and NULL text all take the parse_ok=false path with NULL
+    outputs; an empty cells array is a valid 0/0 notebook."""
+    import json as _json
+
+    from dqm_spark.operators.code import notebook_extract
+
+    nb = _json.dumps({"cells": [
+        {"cell_type": "markdown", "source": ["# Title"]},
+        {"cell_type": "code", "source": ['s = "q\\"uote"', "print(s)"]},
+        {"cell_type": "code", "source": ["x = 'é€\U0001f600'"]},
+    ]})
+    df = spark.createDataFrame(
+        [(0, nb),
+         (1, nb[:-1]),                      # truncated -> malformed
+         (2, '{"nbformat": 4}'),            # valid JSON, not a notebook
+         (3, None),
+         (4, '{"cells": []}')],
+        ["doc_id", "text"])
+    out = (notebook_extract(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert bool(out.loc[0, "parse_ok"])
+    assert out.loc[0, "n_cells"] == 3 and out.loc[0, "n_code_cells"] == 2
+    assert out.loc[0, "script"] == (
+        's = "q\\"uote"\nprint(s)\n# %%\nx = \'é€\U0001f600\'')
+    import hashlib
+    assert out.loc[0, "script_sha"] == hashlib.sha256(
+        out.loc[0, "script"].encode()).hexdigest()
+    for i in (1, 2, 3):
+        assert not out.loc[i, "parse_ok"]
+        assert out.loc[i, "script"] is None
+        assert out.loc[i, "script_sha"] is None
+    assert bool(out.loc[4, "parse_ok"])
+    assert out.loc[4, "n_cells"] == 0 and out.loc[4, "n_code_cells"] == 0
+    assert out.loc[4, "script"] == ""
