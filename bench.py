@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "doc_leakage_safe_split", "doc_temperature_mixture",
     "code_minified_census", "code_vendored_census", "code_block_dedup",
     "code_identifier_stats", "code_fim_transform", "repo_context_concat",
-    "code_notebook_extract",
+    "code_notebook_extract", "code_markdown_extract",
 ]
 
 

@@ -433,3 +433,48 @@ def notebook_extract(df: DataFrame, content: str = "text",
         F.when(parse_ok, script).alias("script"),
         F.when(parse_ok, F.sha2(script, 256)).alias("script_sha"),
     )
+
+
+# Fenced code block: opener ```lang\n, non-greedy body (trailing newline
+# included — the closer sits on its own line), closer ```. (?s) so bodies
+# span lines. Same pattern string works in Java regex (Spark) and RE2
+# (DuckDB): explicit classes, no lookaround, non-greedy supported by both.
+_FENCE_RE = r"(?s)```([A-Za-z0-9_+-]*)\n(.*?)```"
+
+
+def markdown_code_extract(df: DataFrame, content: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Markdown -> training-code extraction, the docs->code complement
+    of notebook_extract: pull fenced ``` code blocks out of
+    markdown/rST-ish prose (The-Stack-style — READMEs and docs carry
+    high-quality usage examples that a path/lang filter on .md files
+    would discard wholesale). Blocks join with the jupytext '# %%'
+    delimiter, in document order; the fence info-strings join with ','
+    (untagged fences contribute an empty segment, so the census keeps
+    block arity visible).
+
+    Output: (id, n_fences, fence_langs, code, code_sha). Docs with no
+    complete fence — including NULL text and an UNCLOSED opener, which
+    must never swallow the rest of the file as code — report 0 fences
+    with empty strings, not NULLs: "no code here" is a value, unlike
+    notebook_extract's parse_ok=false which means "not parseable".
+
+    Scale shape (100 TB): one regexp_extract_all pass per group over
+    bytes already scanned — pure codegen projection, zero shuffle, zero
+    Python; output is a subset of input bytes.
+
+    dqm analog: decode<T> slicing typed payloads out of a larger opaque
+    record and skipping everything it doesn't recognize
+    (/root/reference/include/dqm/Decoder.hpp:31-49).
+    """
+    t = F.coalesce(F.col(content), F.lit(""))
+    langs = F.regexp_extract_all(t, F.lit(_FENCE_RE), F.lit(1))
+    bodies = F.regexp_extract_all(t, F.lit(_FENCE_RE), F.lit(2))
+    code = F.concat_ws(NB_CELL_SEP, bodies)
+    return df.select(
+        F.col(id_col),
+        F.size(bodies).cast("long").alias("n_fences"),
+        F.concat_ws(",", langs).alias("fence_langs"),
+        code.alias("code"),
+        F.sha2(code, 256).alias("code_sha"),
+    )

@@ -309,3 +309,29 @@ def test_notebook_extract_cells_and_degraded_paths(spark):
     assert bool(out.loc[4, "parse_ok"])
     assert out.loc[4, "n_cells"] == 0 and out.loc[4, "n_code_cells"] == 0
     assert out.loc[4, "script"] == ""
+
+
+def test_markdown_code_extract_fences(spark):
+    """Tagged and untagged fences extract in order with bodies intact
+    (trailing newline before the closer included); unclosed openers,
+    fence-free prose, and NULL text report 0 fences with empty strings;
+    the info-string census keeps untagged blocks visible as empty
+    segments."""
+    from dqm_spark.operators.code import markdown_code_extract
+    md = ("Intro\n```python\nx = 1\ny = 2\n```\nmid\n"
+          "```\nplain\n```")
+    df = spark.createDataFrame(
+        [(0, md), (1, "no fences"), (2, "```js\nunclosed"), (3, None)],
+        ["doc_id", "text"])
+    out = (markdown_code_extract(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "n_fences"] == 2
+    assert out.loc[0, "fence_langs"] == "python,"
+    assert out.loc[0, "code"] == "x = 1\ny = 2\n\n# %%\nplain\n"
+    import hashlib
+    assert out.loc[0, "code_sha"] == hashlib.sha256(
+        out.loc[0, "code"].encode()).hexdigest()
+    for i in (1, 2, 3):
+        assert out.loc[i, "n_fences"] == 0
+        assert out.loc[i, "fence_langs"] == ""
+        assert out.loc[i, "code"] == ""
