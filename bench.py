@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "code_minified_census", "code_vendored_census", "code_block_dedup",
     "code_identifier_stats", "code_fim_transform", "repo_context_concat",
     "code_notebook_extract", "code_markdown_extract",
+    "code_test_pairs",
 ]
 
 

@@ -478,3 +478,70 @@ def markdown_code_extract(df: DataFrame, content: str = "text",
         code.alias("code"),
         F.sha2(code, 256).alias("code_sha"),
     )
+
+
+# test-file naming conventions: test_foo.py / foo_test.go style. Anchored
+# to the basename (path split on '/'), explicit classes only — Java regex
+# and RE2 agree. The extension must match between test and impl: test_a.py
+# never pairs with a.go.
+_TEST_PREFIX_RE = "^test_(.+)[.]([A-Za-z0-9]+)$"
+_TEST_SUFFIX_RE = "^(.+)_test[.]([A-Za-z0-9]+)$"
+_IMPL_RE = "^(.+)[.]([A-Za-z0-9]+)$"
+
+
+def test_impl_pairs(df: DataFrame, repo_col: str = "repo",
+                    path_col: str = "path") -> DataFrame:
+    """Test ↔ implementation pairing by basename stem within a repo —
+    the relational face of test-aware corpus prep: paired files feed
+    code+test training sequences and leakage-safe eval splits (a test
+    must follow its implementation into train OR val, never split), and
+    ORPHAN tests (no matching impl) are a repo-quality signal.
+
+    A test file's basename matches ``test_<stem>.<ext>`` or
+    ``<stem>_test.<ext>``; it pairs with the file ``<stem>.<ext>``
+    (same extension, any directory) in the SAME repo. Output: one row
+    per test file — (repo, stem key, test_path, impl_path) with
+    impl_path NULL for orphans; when a repo holds several candidate
+    impls with the same basename (src/a/util.py, src/b/util.py) the
+    lexicographically smallest path is elected, so the pairing is
+    deterministic and the join fanout is exactly 1.
+
+    Scale shape (100 TB): impl candidates collapse to one row per
+    (repo, stem, ext) via a partial-agg min election BEFORE the join —
+    map-side combine absorbs basename swarms (10^6 copies of utils.py
+    never meet the join as a hot key) — then one equi-join at 1:1
+    multiplicity. Two bounded shuffles, zero Python, no windows.
+
+    dqm analog: the ChannelMap probe pairing each data stream with its
+    (plane, local offset) dimension row
+    (/root/reference/include/dqm/ChannelMap.hpp:28-29) — a keyed
+    1:1 lookup, never a fanout join.
+    """
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    pre_stem = F.regexp_extract(base, _TEST_PREFIX_RE, 1)
+    pre_ext = F.regexp_extract(base, _TEST_PREFIX_RE, 2)
+    suf_stem = F.regexp_extract(base, _TEST_SUFFIX_RE, 1)
+    suf_ext = F.regexp_extract(base, _TEST_SUFFIX_RE, 2)
+    is_test = (pre_stem != "") | (suf_stem != "")
+    stem = F.when(pre_stem != "", pre_stem).otherwise(suf_stem)
+    ext = F.when(pre_stem != "", pre_ext).otherwise(suf_ext)
+    keyed = df.select(
+        F.col(repo_col).alias("repo"), F.col(path_col).alias("path"),
+        base.alias("__base"), is_test.alias("__is_test"),
+        stem.alias("__stem"), ext.alias("__ext"))
+    tests = (keyed.filter("__is_test")
+             .select("repo", F.col("path").alias("test_path"),
+                     F.concat_ws(".", "__stem", "__ext").alias("stem_key"),
+                     "__stem", "__ext"))
+    impls = (
+        keyed.filter(~F.col("__is_test"))
+        .select("repo",
+                F.regexp_extract(F.col("__base"), _IMPL_RE, 1).alias("__stem"),
+                F.regexp_extract(F.col("__base"), _IMPL_RE, 2).alias("__ext"),
+                "path")
+        .filter(F.col("__stem") != "")
+        .groupBy("repo", "__stem", "__ext")
+        .agg(F.min("path").alias("impl_path"))
+    )
+    return (tests.join(impls, ["repo", "__stem", "__ext"], "left")
+            .select("repo", "stem_key", "test_path", "impl_path"))

@@ -335,3 +335,26 @@ def test_markdown_code_extract_fences(spark):
         assert out.loc[i, "n_fences"] == 0
         assert out.loc[i, "fence_langs"] == ""
         assert out.loc[i, "code"] == ""
+
+
+def test_test_impl_pairs_election_and_orphans(spark):
+    """Prefix- and suffix-style test names pair with same-stem same-ext
+    impls in the same repo; among duplicate impl basenames the
+    lexicographically smallest path wins; cross-repo and cross-ext
+    never pair; orphan tests keep a row with NULL impl_path."""
+    from dqm_spark.operators.code import test_impl_pairs
+    rows = [
+        ("r1", "src/b/util.py"), ("r1", "src/a/util.py"),  # dup impls
+        ("r1", "tests/test_util.py"),                      # prefix style
+        ("r1", "pkg/handler.go"), ("r1", "pkg/handler_test.go"),
+        ("r1", "tests/test_orphan.py"),                    # no impl
+        ("r2", "util.py"),                                 # other repo
+        ("r1", "util.go"),                                 # other ext
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path"])
+    out = {(r["repo"], r["test_path"]): r["impl_path"]
+           for r in test_impl_pairs(df).collect()}
+    assert out[("r1", "tests/test_util.py")] == "src/a/util.py"
+    assert out[("r1", "pkg/handler_test.go")] == "pkg/handler.go"
+    assert out[("r1", "tests/test_orphan.py")] is None
+    assert len(out) == 3   # impls and other repos contribute no rows
