@@ -1,5 +1,6 @@
-"""Connected components over an edge DataFrame — dedup-cluster
-construction.
+"""Graph algorithms over edge DataFrames: connected components
+(dedup-cluster construction) and fixed-iteration PageRank
+(dependency-graph centrality).
 
 The LSH dedup tails elect a SINGLE-STEP canonical (min id over verified
 neighbors), which is not transitive: a chain A~B~C with A≁C leaves C
@@ -99,6 +100,89 @@ def _driver_union_find(pairs) -> dict[int, int]:
             else:
                 parent[ra] = rb
     return {x: find(x) for x in list(parent)}
+
+
+# persisted edge+outdeg input of the most recent pagerank call
+_PR_POOL = CachePool()
+clear_pagerank_cache = _PR_POOL.clear
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
+             iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """(node, rank) after `iterations` synchronous power-iteration
+    rounds of damped PageRank over the DISTINCT directed edge list —
+    dependency-graph centrality (which modules/repos does the corpus
+    lean on), the import-graph ranking signal used to weight code
+    corpora by ecosystem centrality.
+
+    Semantics are pinned so an engine-independent oracle can replay
+    them exactly:
+
+      nodes      every id appearing as src or dst (self-loops count)
+      r_0(v)     1 / N
+      r_{t+1}(v) (1 - d) / N  +  d * sum_{(u,v) in E} r_t(u) / outdeg(u)
+
+    Dangling nodes (no out-edges) LEAK their mass — no reallocation —
+    the simple variant; both engines must agree, and leaking is the
+    cheaper contract (no extra global aggregate per round). Total mass
+    therefore decays unless the graph is out-regular; consumers ranking
+    by relative order are unaffected.
+
+    Scale shape: the edge list joined with its outdegree is persisted
+    ONCE and reused every round; each round is two shuffles — ranks ⋈
+    edges on src (a hub src is one rank row fanned across its edge
+    partitions; AQE skew-split covers it) and a dst-keyed hash agg
+    whose partial combine collapses a hot dst (everyone imports `os`)
+    map-side. The only driver-side values are the node count and the
+    loop counter; ranks never leave the cluster. Per-round
+    localCheckpoint truncates the lineage, which otherwise grows
+    linearly with rounds and re-executes the whole chain at each action.
+
+    dqm analog: the reference's iterated plane-sum refinement combines
+    partial sums across rounds (/root/reference/src/algs/*); here each
+    round's partials are the per-edge rank contributions."""
+    import gc
+
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+        .distinct()
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    pre = e.join(od, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PR_POOL.swap(pre, nodes)
+
+    n = nodes.count()   # scalar; also materializes the node persist
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # driver-side IEEE doubles, same op order the SQL oracle uses:
+    # (1 - d) then / n, so the literals agree bit-for-bit
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("__r", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            pre.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("__r") / F.col("__od")).alias("__mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping)
+                 * F.coalesce("__mass", F.lit(0.0))).alias("__r"))
+        ).localCheckpoint(eager=True)
+        gc.collect()   # release the previous round's checkpoint blocks
+    return ranks.select("node", F.col("__r").alias("rank"))
 
 
 def connected_components(edges: DataFrame, src: str = "src",

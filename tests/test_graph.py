@@ -98,3 +98,81 @@ def test_self_loop_only_node_appears_both_paths(spark):
                for r in connected_components(
                    e, driver_finish_max_edges=gate).collect()}
         assert got == {7: 7, 1: 1, 2: 1}, (gate, got)
+
+
+# ---------------------------------------------------------------------------
+# pagerank vs a numpy power-iteration reference
+# ---------------------------------------------------------------------------
+
+
+def _np_pagerank(edges, iterations=3, damping=0.85):
+    """Dense numpy replay of the pinned semantics: distinct edges,
+    r0 = 1/N, r_{t+1} = (1-d)/N + d * sum_in r_t/outdeg, dangling
+    mass leaks."""
+    import numpy as np
+
+    edges = sorted(set(edges))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / out[u]
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _pr_dict(spark, pairs, **kw):
+    from dqm_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [a for a, _ in pairs],
+                      "dst": [b for _, b in pairs]}))
+    return {r.node: r.rank for r in pagerank(e, **kw).collect()}
+
+
+def test_pagerank_two_node_cycle_is_stationary(spark):
+    """a<->b: the uniform start IS the fixpoint — every iterate stays
+    exactly 0.5/0.5 (base + d*0.5 = 0.5 when base = (1-d)/2)."""
+    got = _pr_dict(spark, [(1, 2), (2, 1)], iterations=3)
+    assert got.keys() == {1, 2}
+    for v in got.values():
+        assert abs(v - 0.5) < 1e-12
+
+
+def test_pagerank_star_matches_numpy(spark):
+    """4 leaves -> hub: hub concentrates mass, leaves dangle (leak);
+    exact match with the dense reference at every node."""
+    pairs = [(1, 0), (2, 0), (3, 0), (4, 0)]
+    got = _pr_dict(spark, pairs, iterations=3)
+    want = _np_pagerank(pairs, iterations=3)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # dangling leaves leak mass: total strictly below 1
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_random_graph_matches_numpy(spark):
+    rng = random.Random(11)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120) })
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = _pr_dict(spark, pairs, iterations=4)
+    want = _np_pagerank(pairs, iterations=4)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-10, k
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """The contract is over the DISTINCT edge list: feeding each edge
+    twice must not change outdegrees or contributions."""
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    once = _pr_dict(spark, pairs, iterations=3)
+    twice = _pr_dict(spark, pairs + pairs, iterations=3)
+    assert once == twice
