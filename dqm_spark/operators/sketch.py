@@ -115,3 +115,78 @@ def word_heavy_hitters(df: DataFrame, content: str = "content",
         F.explode(F.regexp_extract_all(
             F.col(content), F.lit(T.WORD_PATTERN), F.lit(0))).alias("term"))
     return heavy_hitters(words, "term", k)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, md5-derived)
+# ---------------------------------------------------------------------------
+#
+# Why not COUNT(DISTINCT key)? Exact distinct on a 10^10-key column
+# (content digests, URLs, identifiers) shuffles EVERY distinct key: the
+# map-side partial state and the exchange both scale with the key space.
+# The HLL register table is 2^p small ints per group NO MATTER the input
+# size — the shuffle carries <= groups x 2^p rows, period (Flajolet et
+# al., AofA'07; the mergeable-summaries posture of Agarwal et al.,
+# PODS'12 — max() over registers is the merge, so Spark's partial agg
+# collapses each mapper's contribution to one register row before the
+# exchange).
+#
+# Every bit is pinned so an engine-independent oracle can replay the
+# registers EXACTLY (no engine hash, no float): v = first 14 hex chars
+# of md5(key) as a 56-bit int; register = v % 2^p; w = v // 2^p;
+# rho = (56 - p) + 1 - length(bin(w)), i.e. the position of w's highest
+# set bit counted from the top, so P(rho = r) = 2^-r for uniform w
+# (w = 0 -> length(bin(0)) = '0' = 1 in BOTH Spark and DuckDB, folding
+# the all-zero tail into rho_max - 1 instead of rho_max: a 2^-47 event
+# at p = 9, identical in both engines, irrelevant to the estimate).
+
+
+def hll_registers(df: DataFrame, key: str, groups: list[str],
+                  p: int = 9) -> DataFrame:
+    """(groups..., register, max_rho) — the dense-at-most-2^p HLL
+    register table per group over md5(key); only OBSERVED registers
+    appear (absent register == max_rho 0). Pure JVM codegen: md5 +
+    conv + shiftright + bin; two-stage hash agg keyed (groups,
+    register), so per-mapper partial state is bounded by 2^p rows per
+    group regardless of input rows — the whole point of the sketch.
+
+    dqm analog: the reference's fixed-bin Hist state per channel
+    (/root/reference/src/Hist.cxx) — constant summary state per entity
+    over an unbounded stream; here the bins are hash registers."""
+    v = F.conv(F.substring(F.md5(F.col(key)), 1, 14), 16, 10).cast("long")
+    w = F.shiftright(v, p)
+    rho = (F.lit(56 - p + 1) - F.length(F.bin(w))).cast("int")
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(*groups,
+                F.pmod(v, F.lit(2 ** p)).cast("int").alias("register"),
+                rho.alias("rho"))
+        .groupBy(*groups, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_count_distinct(df: DataFrame, key: str, groups: list[str],
+                       p: int = 9) -> DataFrame:
+    """(groups..., approx_distinct) — the HLL estimate from the register
+    table: alpha_m * m^2 / (zeros + sum 2^-M_j) with the standard
+    small-range linear-counting correction (E <= 2.5m and empty
+    registers present -> m * ln(m / zeros)). Estimator accuracy
+    (~1.04/sqrt(m), ~4.6% at p = 9) is proven by a golden pytest
+    against exact distinct counts; the REGISTER construction is what
+    the cross-engine oracle pins (hll_registers), keeping libm
+    (ln/pow) out of the value-compare path."""
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, key, groups, p=p)
+    agg = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__inv"))
+    zeros = F.lit(m) - F.col("__seen")
+    raw = F.lit(alpha * m * m) / (zeros.cast("double") + F.col("__inv"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    ).otherwise(raw)
+    return agg.select(*groups,
+                      F.round(est).cast("long").alias("approx_distinct"))

@@ -90,3 +90,55 @@ def test_empty_and_null_input(spark):
     got = heavy_hitters(df2, "term", k=2).collect()
     # N counts only non-null terms (3); x has all 3 > 3/2
     assert [(r["term"], r["freq"]) for r in got] == [("x", 3)]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: estimator accuracy + partitioning invariance
+# ---------------------------------------------------------------------------
+
+
+def _hll_est(spark, keys, partitions=1, p=9):
+    from dqm_spark.operators.sketch import hll_count_distinct
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * len(keys), "k": keys})
+    ).repartition(partitions)
+    rows = hll_count_distinct(df, "k", ["g"], p=p).collect()
+    assert len(rows) == 1
+    return rows[0]["approx_distinct"]
+
+
+def test_hll_small_range_is_near_exact(spark):
+    """Linear counting: with 3 occupied registers out of 512 the
+    correction recovers the exact count (no register collisions for
+    these fixed keys)."""
+    est = _hll_est(spark, ["x", "y", "z", "x", "y"])
+    assert abs(est - 3) <= 1
+
+
+def test_hll_thousand_distinct_within_rsd(spark):
+    """1000 distinct keys at p=9 (~4.6% rsd): estimate within 3 sigma,
+    and duplicates must not move it (sketch sees sets, not bags)."""
+    keys = [f"key-{i}" for i in range(1000)]
+    est = _hll_est(spark, keys, partitions=7)
+    assert abs(est - 1000) / 1000 < 0.15, est
+    est_dup = _hll_est(spark, keys + keys[:500], partitions=7)
+    assert est_dup == est
+
+
+def test_hll_partitioning_invariant(spark):
+    """max() is the register merge: the sketch is identical whatever
+    the physical partitioning — the mergeable-summaries contract."""
+    keys = [f"k{i}" for i in range(300)]
+    assert _hll_est(spark, keys, partitions=1) == \
+        _hll_est(spark, keys, partitions=13)
+
+
+def test_hll_registers_bounded_and_typed(spark):
+    from dqm_spark.operators.sketch import hll_registers
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 5000,
+                      "k": [f"v{i}" for i in range(5000)]}))
+    regs = hll_registers(df, "k", ["g"], p=9).toPandas()
+    assert len(regs) <= 512
+    assert regs["register"].between(0, 511).all()
+    assert (regs["max_rho"] >= 1).all() and (regs["max_rho"] <= 48).all()
