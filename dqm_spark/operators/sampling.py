@@ -95,6 +95,36 @@ def mixture_sample(df: DataFrame, key: Column, weights: dict[str, int],
     return df.filter((_keep_hash(key, salt) % denom) < pct)
 
 
+def weighted_sample_col(key: Column, weight: Column, max_weight: int,
+                        salt: str = "") -> Column:
+    """Boolean: keep with probability min(1, weight / max_weight) —
+    per-ROW importance (proportional-to-weight) Bernoulli sampling,
+    the continuous face the stratum-keyed mixture rates can't express
+    (upweight by quality score, length, dedup-cluster size, ...).
+
+    The acceptance test is INTEGER-exact — keep iff
+    ``hash32 * max_weight < weight * 2^32`` — an exact rational
+    comparison of hash/2^32 against weight/max_weight with no float
+    division anywhere, so an engine-independent oracle replays every
+    keep decision bit-for-bit and a lost-stage retry at 100 TB
+    re-keeps exactly the same rows. Rows with weight >= max_weight are
+    always kept (probability capped at 1); weight <= 0 never keeps.
+    Overflow-safe for max_weight and weights up to ~2^21 (hash32 < 2^32,
+    product < 2^53 << 2^63).
+
+    Still one codegen'd filter: composes with scan pruning, no Python,
+    no shuffle."""
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    return (_keep_hash(key, salt) * F.lit(max_weight)
+            < weight.cast("long") * F.lit(1 << 32))
+
+
+def weighted_sample(df: DataFrame, key: Column, weight: Column,
+                    max_weight: int, salt: str = "") -> DataFrame:
+    return df.filter(weighted_sample_col(key, weight, max_weight, salt))
+
+
 def token_budget_sample(df: DataFrame, key: Column, budgets: dict[str, int],
                         token_col: str, stratum_col: str = "lang",
                         salt: str = "", buckets: int = 4096) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Weighted (proportional-to-weight) Bernoulli sampling: integer-exact
+acceptance vs a pure-Python md5 replay, rate convergence, and the
+probability cap. (The constant-rate/stratified/mixture samplers are
+value-proven by their DuckDB oracles in test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from dqm_spark.operators.sampling import weighted_sample
+
+
+def _py_keep(key: str, weight: int, max_weight: int, salt: str) -> bool:
+    h = int(hashlib.md5((salt + key).encode()).hexdigest()[:8], 16)
+    return h * max_weight < weight * (1 << 32)
+
+
+def _df(spark, weights):
+    return spark.createDataFrame(
+        pd.DataFrame({"k": [str(i) for i in range(len(weights))],
+                      "w": weights}))
+
+
+def test_weighted_sample_matches_md5_replay(spark):
+    """Every keep decision is bit-identical to the reference formula —
+    the engine-portability contract the oracle relies on."""
+    from pyspark.sql import functions as F
+    weights = [(i * 37) % 1500 for i in range(400)]
+    got = {r["k"] for r in weighted_sample(
+        _df(spark, weights), F.col("k"), F.col("w"), 1024,
+        salt="s:").collect()}
+    want = {str(i) for i, w in enumerate(weights)
+            if _py_keep(str(i), w, 1024, "s:")}
+    assert got == want
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Keep rate approximates E[min(1, w/max_w)]; heavy rows are kept
+    strictly more often than light rows."""
+    from pyspark.sql import functions as F
+    n = 4000
+    weights = [256 if i % 2 == 0 else 768 for i in range(n)]
+    kept = weighted_sample(
+        _df(spark, weights), F.col("k"), F.col("w"), 1024).toPandas()
+    light = (kept["w"] == 256).sum() / (n / 2)
+    heavy = (kept["w"] == 768).sum() / (n / 2)
+    assert abs(light - 0.25) < 0.05, light
+    assert abs(heavy - 0.75) < 0.05, heavy
+
+
+def test_weighted_sample_cap_and_zero(spark):
+    """weight >= max_weight always keeps; weight <= 0 never keeps."""
+    from pyspark.sql import functions as F
+    df = _df(spark, [5000] * 50 + [0] * 50)
+    kept = weighted_sample(df, F.col("k"), F.col("w"), 1024).toPandas()
+    assert len(kept) == 50 and (kept["w"] == 5000).all()
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+    weights = [(i * 13) % 1024 for i in range(500)]
+    a = {r["k"] for r in weighted_sample(
+        _df(spark, weights).repartition(1), F.col("k"),
+        F.col("w"), 1024).collect()}
+    b = {r["k"] for r in weighted_sample(
+        _df(spark, weights).repartition(17), F.col("k"),
+        F.col("w"), 1024).collect()}
+    assert a == b
