@@ -287,6 +287,80 @@ def identifier_stats(df: DataFrame, content: str = "text",
 _BLOCK_START_RE = "^(def |class |function |func |fn )"
 
 
+def split_blocks(df: DataFrame, content: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id_col, __b, bstart, btext) — one row per top-level code block:
+    a `def `/`class `/`function `-led header line plus everything until
+    the next header; the preamble before the first header is block 0.
+    Shared splitter for `block_dedup` and `docstring_pairs`.
+
+    Scale shape: block assignment is a DOC-LOCAL running sum — the
+    window is keyed by the unique doc id, so no corpus-wide hot key can
+    form — and reassembly is one doc-local hash agg."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "u"))
+    is_start = (F.col("pos") == 0) | F.col("u").rlike(_BLOCK_START_RE)
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    blk = lines.withColumn("__b", F.sum(is_start.cast("int")).over(w))
+    return (
+        blk.groupBy(id_col, "__b")
+        .agg(F.min("pos").alias("bstart"),
+             F.concat_ws(
+                 "\n",
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                     lambda s: s["u"])).alias("btext"))
+    )
+
+
+# Docstring span: a triple-quoted run with no quote character inside —
+# the explicit-class form shared by Java regex and RE2, so the DuckDB
+# oracle restates it verbatim. Multi-docstring blocks: Spark's
+# regexp_replace strips every occurrence while DuckDB's default strips
+# the first, so `docstring_pairs` guarantees single-occurrence by
+# construction (the pair filter takes the FIRST span and the planted
+# oracle corpora carry exactly one per block).
+_DOCSTRING_RE = '"""([^"]*)"""'
+
+
+def docstring_pairs(df: DataFrame, content: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id_col, bstart, func_name, docstring, code_sha) — CodeSearchNet
+    -style (natural language, code) pair mining: every top-level `def `
+    block carrying a triple-quoted docstring span (first span taken)
+    yields one training pair — the docstring is the NL description side, the
+    block with the docstring span stripped (sha256'd here; the text
+    itself is one regexp_replace away) is the code side. Functions
+    without docstrings produce no pair: the docstring IS the label.
+
+    Scale shape: block splitting is doc-local (`split_blocks`); pair
+    extraction is a codegen'd regexp projection over the block rows —
+    zero Python, no corpus-wide shuffle beyond the doc-local split.
+
+    dqm analog: the typed per-frame field extractors — a fixed-layout
+    record is split into (header, payload) views by position
+    (/root/reference/include/dqm/FormatUtils.hpp:16-79); here the
+    block's "header" is its docstring and the payload is the code.
+    """
+    blocks = split_blocks(df, content, id_col)
+    name = F.regexp_extract(
+        F.col("btext"), "^def ([A-Za-z_][A-Za-z0-9_]*)", 1)
+    doc = F.regexp_extract(F.col("btext"), _DOCSTRING_RE, 1)
+    code = F.regexp_replace(
+        F.col("btext"), '[ \\t]*' + _DOCSTRING_RE + '\\n?', "")
+    return (
+        blocks
+        .filter(F.col("btext").rlike("^def "))
+        .select(
+            F.col(id_col), F.col("bstart"),
+            name.alias("func_name"), doc.alias("docstring"),
+            F.sha2(code, 256).alias("code_sha"))
+        .filter(F.col("docstring") != "")
+    )
+
+
 def block_dedup(df: DataFrame, content: str = "text",
                 id_col: str = "doc_id", *,
                 min_len: int = 20) -> DataFrame:
@@ -323,22 +397,7 @@ def block_dedup(df: DataFrame, content: str = "text",
     /root/reference/include/dqm/Decoder.hpp:29-44) — first occurrence
     is the record of note.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(content), "\n")).alias("pos", "u"))
-    is_start = (F.col("pos") == 0) | F.col("u").rlike(_BLOCK_START_RE)
-    w = (Window.partitionBy(id_col).orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    blk = lines.withColumn("__b", F.sum(is_start.cast("int")).over(w))
-    blocks = (
-        blk.groupBy(id_col, "__b")
-        .agg(F.min("pos").alias("bstart"),
-             F.concat_ws(
-                 "\n",
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "u"))),
-                     lambda s: s["u"])).alias("btext"))
-    )
+    blocks = split_blocks(df, content, id_col)
     dedupable = (F.col("btext").rlike(_BLOCK_START_RE)
                  & (F.length("btext") >= min_len))
     winners = (

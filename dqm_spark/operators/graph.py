@@ -295,3 +295,75 @@ def connected_components(edges: DataFrame, src: str = "src",
         .select("node",
                 F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+# persisted edge input of the most recent topo_layers call
+_TOPO_POOL = CachePool()
+clear_topo_cache = _TOPO_POOL.clear
+
+
+def topo_layers(edges: DataFrame, src: str = "src", dst: str = "dst", *,
+                iterations: int = 3) -> DataFrame:
+    """(node, layer) — dependency-aware LAYERING of a directed graph,
+    the ordering primitive behind dependency-first repo-context
+    concatenation: emit a repository's files so that imported modules
+    precede their importers (sort by (layer, path) downstream). An edge
+    ``u -> v`` means u DEPENDS ON v.
+
+    Semantics are pinned so an engine-independent oracle can replay
+    them exactly with `iterations` unrolled CTEs:
+
+      nodes        every id appearing as src or dst of the DISTINCT
+                   edge list (a dst-only node is an external/leaf dep)
+      layer_0(u)   0
+      layer_t+1(u) max over deps v of (layer_t(v) + 1), or 0 if u has
+                   no out-edges
+
+    After K iterations layer(u) = min(longest dependency path from u,
+    K): an acyclic chain deeper than K — and every node on or above a
+    CYCLE — saturates toward the cap rather than diverging or erroring,
+    the bounded-iteration posture shared with `pagerank` (real import
+    graphs contain cycles; a corpus job must not spin on them).
+
+    Scale shape: the distinct edge list is persisted once and reused
+    every round; each round is one dst-keyed join (ranks fan across
+    edge partitions; AQE skew-split covers the everyone-imports-`os`
+    hub) and one src-keyed hash agg whose map-side partial max
+    collapses a hot importer before the shuffle. Per-round
+    localCheckpoint truncates the growing lineage.
+
+    dqm analog: the reference resolves its module schedule by declared
+    dependency order before the first tick rather than discovering it
+    at run time (/root/reference/plugins/DQMProcessor.cpp:227-246
+    task-map construction)."""
+    import gc
+
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _TOPO_POOL.swap(e, nodes)
+
+    layers = nodes.select("node", F.lit(0).cast("long").alias("layer"))
+    for _ in range(iterations):
+        dep = (
+            e.join(layers.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg((F.max("layer") + F.lit(1)).alias("__dl"))
+        )
+        layers = (
+            nodes.join(dep.withColumnRenamed("src", "node"), "node", "left")
+            .select("node",
+                    F.coalesce("__dl", F.lit(0)).cast("long").alias("layer"))
+        ).localCheckpoint(eager=True)
+        gc.collect()   # release the previous round's checkpoint blocks
+    return layers

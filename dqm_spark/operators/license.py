@@ -69,3 +69,61 @@ def license_rollup(df: DataFrame, content: str = "content",
         keys.append(F.col(group_col))
     return (df.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_files")))
+
+
+def license_conflicts(df: DataFrame, content: str = "content",
+                      repo_col: str = "repo",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-file license vs the repository's DOMINANT license — the
+    compliance gate a permissive-only code corpus runs before ingest: a
+    repo whose README says MIT but which vendors a GPL file must not
+    enter the corpus on the strength of its top-level license alone
+    (The-Stack-style license filtering operates per file for exactly
+    this reason).
+
+    Returns one row per input file:
+    (id_col, repo_col, license, repo_license, conflict) where
+    `repo_license` is the most common DETECTED (non-'unknown',
+    non-NULL) license among the repo's files — ties broken toward the
+    lexicographically greatest license id so the election is
+    deterministic —
+    NULL when no file in the repo carries a detectable license, and
+    `conflict` marks files whose own detected license disagrees with
+    it. 'unknown'/NULL files never conflict: absence of a header is not
+    a license statement.
+
+    Scale shape: detection is a codegen'd projection; the per-(repo,
+    license) census and the per-repo mode election are two hash aggs
+    with map-side partial combine (a 10^7-file monorepo collapses to at
+    most one row per map task x license); the join back is on repo_col
+    — row-per-member lookups whose only skew is the monorepo key
+    itself, covered by AQE skew-join splitting, never a pair
+    enumeration.
+
+    dqm analog: check_timestamps_aligned — a per-group consistency rule
+    that flags members disagreeing with the group consensus and warns
+    rather than aborts (/root/reference/include/dqm/Pipeline.hpp:78-95).
+    """
+    lic = df.select(F.col(id_col), F.col(repo_col),
+                    detect_license_col(content).alias("license"))
+    detected = lic.filter(F.col("license").isNotNull()
+                          & (F.col("license") != "unknown"))
+    counts = (detected.groupBy(repo_col, "license")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    dominant = (
+        counts.groupBy(repo_col)
+        .agg(F.max(F.struct(F.col("__n"), F.col("license"))).alias("w"))
+        .select(F.col(repo_col), F.col("w.license").alias("repo_license"))
+    )
+    return (
+        lic.join(dominant, repo_col, "left")
+        .select(
+            F.col(id_col), F.col(repo_col), F.col("license"),
+            F.col("repo_license"),
+            (F.col("license").isNotNull()
+             & (F.col("license") != "unknown")
+             & F.col("repo_license").isNotNull()
+             & (F.col("license") != F.col("repo_license"))
+             ).alias("conflict"),
+        )
+    )

@@ -358,3 +358,28 @@ def test_test_impl_pairs_election_and_orphans(spark):
     assert out[("r1", "pkg/handler_test.go")] == "pkg/handler.go"
     assert out[("r1", "tests/test_orphan.py")] is None
     assert len(out) == 3   # impls and other repos contribute no rows
+
+
+def test_docstring_pairs_extraction(spark):
+    """Documented def blocks yield one (docstring, code) pair; bare
+    defs, classes, and preambles yield none; the code sha is the block
+    with the docstring span stripped."""
+    import hashlib
+    from dqm_spark.operators.code import docstring_pairs
+    docs = [
+        (0, '# pre\nimport os\ndef add(a, b):\n    """sum of a and b"""'
+            '\n    return a + b\ndef bare():\n    return 0'),
+        (1, 'class C:\n    """class doc ignored at pair level?"""'),
+        (2, 'def only_code():\n    return 1'),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = docstring_pairs(df, "text", "doc_id").toPandas()
+    # class blocks are not `def `-led -> no pair even with a docstring
+    assert sorted(out["doc_id"]) == [0]
+    row = out.iloc[0]
+    assert row["func_name"] == "add"
+    assert row["docstring"] == "sum of a and b"
+    stripped = ("def add(a, b):\n    return a + b")
+    assert row["code_sha"] == hashlib.sha256(stripped.encode()).hexdigest()
+    assert row["bstart"] == 2

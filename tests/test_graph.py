@@ -176,3 +176,23 @@ def test_pagerank_duplicate_edges_collapse(spark):
     once = _pr_dict(spark, pairs, iterations=3)
     twice = _pr_dict(spark, pairs + pairs, iterations=3)
     assert once == twice
+
+
+def test_topo_layers_chain_diamond_cycle(spark):
+    """Hand-computed layering: chain saturates at the K cap, diamond
+    takes the MAX over deps, external (dst-only) deps are layer 0, and
+    a cycle saturates every member instead of diverging."""
+    from dqm_spark.operators.graph import topo_layers
+    edges = [
+        # chain a3 -> a2 -> a1 -> a0 (depth 3, exactly the cap)
+        ("a3", "a2"), ("a2", "a1"), ("a1", "a0"),
+        # diamond: d -> m1 (layer 1), d -> ext (layer 0) => d = 2
+        ("d", "m1"), ("d", "ext"), ("m1", "a0"),
+        # 2-cycle: both saturate to K
+        ("c1", "c2"), ("c2", "c1"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.layer
+           for r in topo_layers(df, iterations=3).collect()}
+    assert got == {"a0": 0, "a1": 1, "a2": 2, "a3": 3,
+                   "ext": 0, "m1": 1, "d": 2, "c1": 3, "c2": 3}

@@ -4,7 +4,8 @@ The rollup additionally carries a full planted-corpus DuckDB oracle
 
 import pandas as pd
 
-from dqm_spark.operators.license import license_rollup, with_license
+from dqm_spark.operators.license import (
+    license_conflicts, license_rollup, with_license)
 
 
 def test_detect_precedence_and_families(spark):
@@ -37,3 +38,32 @@ def test_rollup_counts(spark):
     got = {(r.license, r.lang): r.n_files
            for r in out.itertuples(index=False)}
     assert got == {("MIT", "py"): 3, ("unknown", "py"): 2}
+
+
+def test_license_conflicts_mode_and_flags(spark):
+    pdf = pd.DataFrame({
+        "doc_id": list(range(7)),
+        "repo": ["a", "a", "a", "a", "b", "b", "c"],
+        "content": [
+            "MIT License",                           # a: dominant MIT
+            "MIT License",
+            "GNU General Public License",            # a: conflict
+            "x = 1",                                 # a: unknown, no flag
+            "SPDX-License-Identifier: Apache-2.0",   # b: 1-1 tie ->
+            "SPDX-License-Identifier: MIT",          #   'MIT' wins (desc)
+            "y = 2",                                 # c: all unknown
+        ],
+    })
+    out = license_conflicts(
+        spark.createDataFrame(pdf), "content", "repo", "doc_id").toPandas()
+    rows = {r.doc_id: r for r in out.itertuples(index=False)}
+    assert len(rows) == 7
+    assert rows[0].repo_license == "MIT" and not rows[0].conflict
+    assert rows[2].license == "GPL" and rows[2].conflict
+    # unknown never conflicts, even in a repo with a dominant license
+    assert rows[3].license == "unknown" and not rows[3].conflict
+    # tie broken toward the lexicographically greatest license id
+    assert rows[4].repo_license == "MIT" and rows[4].conflict
+    assert rows[5].repo_license == "MIT" and not rows[5].conflict
+    # repo with no detectable license: NULL dominant, no conflicts
+    assert pd.isna(rows[6].repo_license) and not rows[6].conflict
