@@ -361,6 +361,81 @@ def docstring_pairs(df: DataFrame, content: str = "text",
     )
 
 
+def docstring_coverage(df: DataFrame, content: str = "text",
+                       id_col: str = "doc_id",
+                       group_col: str = "lang") -> DataFrame:
+    """(group, n_defs, n_documented, docstring_coverage) — the share of
+    top-level `def ` blocks carrying a docstring, per corpus stratum:
+    the standard documentation-quality signal of code-corpus curation
+    (The-Stack-style per-language quality tables; also a classifier
+    feature). Coverage is rounded to 4 places so cross-engine float
+    compares are exact; a stratum with zero `def ` blocks reports NULL
+    coverage rather than 0 — "undocumented" and "nothing to document"
+    must not collapse.
+
+    Scale shape: doc-local block split (`split_blocks`), one codegen
+    regexp projection, one partial-agg'd hash aggregation keyed by the
+    (tiny-cardinality) stratum."""
+    blocks = split_blocks(df, content, id_col)
+    grp = df.select(F.col(id_col), F.col(group_col).alias("grp"))
+    defs = (blocks.filter(F.col("btext").rlike("^def "))
+            .join(grp, id_col)
+            .select("grp",
+                    (F.regexp_extract(F.col("btext"), _DOCSTRING_RE, 1)
+                     != "").cast("int").alias("has_doc")))
+    return (
+        defs.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_defs"),
+             F.sum("has_doc").cast("long").alias("n_documented"))
+        .select(F.col("grp").alias(group_col), "n_defs", "n_documented",
+                F.round(F.col("n_documented") / F.col("n_defs"), 4)
+                .alias("docstring_coverage"))
+    )
+
+
+# Truncation heuristics: bracket-family deltas + terminal-byte shape.
+# Closers may legitimately exceed openers inside strings/comments, so
+# the censuses report signed deltas and a conservative `balanced` flag;
+# `ends_mid_token` marks text whose last non-whitespace character is an
+# opener/operator/comma — the classic tail of a file cut mid-download.
+# The whitespace run is an explicit class (not \s) for Java/RE2 parity.
+_MID_TOKEN_TAIL_RE = "[(\\[{,=+*/<>&|-][ \\t\\n\\r\\f]*$"
+
+
+def truncation_flags(df: DataFrame, content: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, paren_delta, bracket_delta, brace_delta, balanced,
+    ends_mid_token, truncation_suspect) — cheap parse-sanity /
+    truncation detection for code corpora (SantaCoder/The-Stack-style
+    "likely truncated file" exclusion): a crawl or export that cut a
+    file mid-stream leaves unbalanced bracket families and a
+    mid-token tail; both are pure byte arithmetic — `length(x) -
+    length(replace(x, c, ''))` per bracket character and one anchored
+    regexp on the trimmed tail — so the census is a zero-shuffle
+    codegen projection and the DuckDB oracle restates it verbatim.
+    NULL content yields NULL flags (absent input is not a truncated
+    file)."""
+    c = F.col(content)
+
+    def n(ch):
+        return F.length(c) - F.length(F.replace(c, F.lit(ch)))
+
+    paren = (n("(") - n(")")).cast("long")
+    brack = (n("[") - n("]")).cast("long")
+    brace = (n("{") - n("}")).cast("long")
+    ends_mid = c.rlike(_MID_TOKEN_TAIL_RE)
+    balanced = (paren == 0) & (brack == 0) & (brace == 0)
+    return df.select(
+        F.col(id_col),
+        paren.alias("paren_delta"),
+        brack.alias("bracket_delta"),
+        brace.alias("brace_delta"),
+        balanced.alias("balanced"),
+        ends_mid.alias("ends_mid_token"),
+        (~balanced | ends_mid).alias("truncation_suspect"),
+    )
+
+
 def block_dedup(df: DataFrame, content: str = "text",
                 id_col: str = "doc_id", *,
                 min_len: int = 20) -> DataFrame:

@@ -383,3 +383,56 @@ def test_docstring_pairs_extraction(spark):
     stripped = ("def add(a, b):\n    return a + b")
     assert row["code_sha"] == hashlib.sha256(stripped.encode()).hexdigest()
     assert row["bstart"] == 2
+
+
+def test_docstring_coverage_per_group(spark):
+    """Coverage counts def blocks only; zero-def strata report NULL
+    coverage, not 0."""
+    import pandas as pd
+    from dqm_spark.operators.code import docstring_coverage
+    docs = [
+        (0, "py", 'def a():\n    """doc"""\n    return 1\ndef b():\n'
+                  '    return 2'),
+        (1, "py", 'def c():\n    """doc"""\n    return 3'),
+        (2, "md", "just prose, no functions"),
+        (3, "go", 'class K:\n    """class docs do not count"""'),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    out = (docstring_coverage(df, "text", "doc_id", "lang")
+           .toPandas().set_index("lang"))
+    assert out.loc["py", "n_defs"] == 3
+    assert out.loc["py", "n_documented"] == 2
+    assert out.loc["py", "docstring_coverage"] == round(2 / 3, 4)
+    # strata with zero def blocks are absent (nothing to document)
+    assert "md" not in out.index and "go" not in out.index
+    assert not out.isin([float("inf")]).any().any()
+    assert isinstance(out, pd.DataFrame)
+
+
+def test_truncation_flags_arms(spark):
+    """Each flag arm both ways: unbalanced opens, over-closed (negative
+    delta still unbalanced), mid-token tails incl. trailing whitespace,
+    clean balanced text, NULL content -> NULL flags."""
+    import pandas as pd
+    from dqm_spark.operators.code import truncation_flags
+    docs = [
+        (0, "x = f(a, b\n"),        # unbalanced ( ; tail \n after ...b? no
+        (1, "done = (1 + 2)\n"),    # balanced, clean tail
+        (2, "arr = items[0\n"),     # unbalanced [
+        (3, "val = \n"),            # '=' then whitespace tail -> mid-token
+        (4, "weird ))"),            # negative paren delta -> unbalanced
+        (5, "open brace {"),        # unbalanced { and mid-token tail
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = (truncation_flags(df, "text", "doc_id")
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "paren_delta"] == 1 and out.loc[0, "truncation_suspect"]
+    assert not out.loc[0, "ends_mid_token"]   # last non-ws char is 'b'
+    assert out.loc[1, "balanced"] and not out.loc[1, "truncation_suspect"]
+    assert out.loc[2, "bracket_delta"] == 1 and not out.loc[2, "balanced"]
+    assert out.loc[3, "balanced"] and out.loc[3, "ends_mid_token"]
+    assert out.loc[4, "paren_delta"] == -2 and out.loc[4, "truncation_suspect"]
+    assert out.loc[5, "brace_delta"] == 1 and out.loc[5, "ends_mid_token"]
+    assert pd.isna(out.loc[6, "paren_delta"])
+    assert pd.isna(out.loc[6, "truncation_suspect"])
