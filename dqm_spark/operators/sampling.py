@@ -276,3 +276,73 @@ def temperature_mixture(df: DataFrame, key: Column, alpha: float,
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter((_keep_hash(key, salt) % ppm) < rate)
+
+
+def epoch_plan(df: DataFrame, tokens: Column, budget: int,
+               stratum_col: str = "lang", *,
+               max_epochs: float = 4.0,
+               weights: dict[str, int] | None = None) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models", public method): given a
+    total training-token `budget` and a per-stratum mixing weight,
+    decide how many EPOCHS (repeats) of each stratum to train on —
+    repeating good data beats diluting with bad, but returns decay, so
+    repeats cap at `max_epochs` (~4 in the paper). The per-stratum plan
+    is
+
+        target_s  = budget * w_s / sum(w)         (w = `weights`, or
+                                                   the stratum's natural
+                                                   token share when None)
+        epochs_s  = min(max_epochs, target_s / n_tokens_s)
+        achieved_s = round(epochs_s * n_tokens_s)
+        capped_s  = target_s > max_epochs * n_tokens_s  (shortfall: the
+                    stratum ran out of unique tokens; no reallocation —
+                    the plan reports the gap rather than silently
+                    shifting budget between strata)
+
+    Returns the PLAN table (stratum, n_docs, n_tokens, target_tokens,
+    epochs, achieved_tokens, capped) — strata-cardinality rows, the
+    input to a sampler/loader, not a row filter. Ratios are rounded
+    (targets to 4 places, epochs to 6) so cross-engine IEEE compares
+    are exact. Strata absent from an explicit `weights` dict get weight
+    0 (target 0, epochs 0).
+
+    Scale shape: ONE partial-agg'd hash aggregation over the corpus
+    (census keyed by the tiny stratum cardinality); the plan arithmetic
+    is a projection over census rows, with the weights-None total
+    supplied by a broadcast single-row aggregate — no driver collect,
+    no second corpus scan, no Python.
+
+    dqm analog: the per-algorithm `how_often` schedule — a bounded
+    plan table deciding how often each input is (re)visited, derived
+    from configured weights rather than hard-coded per run
+    (/root/reference/schema/dqm/dqmprocessor.jsonnet:36-37)."""
+    census = (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(tokens).cast("long").alias("n_tokens"))
+    )
+    if weights is None:
+        tot = census.agg(F.sum("n_tokens").alias("__tot"))
+        census = census.crossJoin(F.broadcast(tot))
+        target = F.lit(float(budget)) * (
+            F.col("n_tokens").cast("double") / F.col("__tot"))
+    else:
+        wsum = float(sum(weights.values()))
+        w = F.lit(0.0)
+        for stratum, wt in sorted(weights.items()):
+            w = (F.when(F.col("stratum") == stratum, F.lit(wt / wsum))
+                 .otherwise(w))
+        target = F.lit(float(budget)) * w
+    epochs = F.round(
+        F.least(F.lit(float(max_epochs)),
+                target / F.col("n_tokens").cast("double")), 6)
+    return census.select(
+        F.col("stratum").alias(stratum_col), "n_docs", "n_tokens",
+        F.round(target, 4).alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.round(epochs * F.col("n_tokens").cast("double"), 0)
+        .cast("long").alias("achieved_tokens"),
+        (target > F.lit(float(max_epochs))
+         * F.col("n_tokens").cast("double")).alias("capped"),
+    )

@@ -68,3 +68,44 @@ def test_weighted_sample_partitioning_invariant(spark):
         _df(spark, weights).repartition(17), F.col("k"),
         F.col("w"), 1024).collect()}
     assert a == b
+
+
+def test_epoch_plan_weighted_caps_and_zero_weight(spark):
+    from pyspark.sql import functions as F
+    from dqm_spark.operators.sampling import epoch_plan
+    rows = [(i, "en", "a " * 99 + "a") for i in range(10)]     # 1000 tok
+    rows += [(100 + i, "de", "b " * 9 + "b") for i in range(10)]  # 100 tok
+    rows += [(200, "xx", "c c c"), (201, "en", None)]  # NULL text: 0 tok
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = (epoch_plan(df, F.size(F.split(F.col("text"), " ")), 2000,
+                      "lang", max_epochs=4.0,
+                      weights={"en": 50, "de": 50})
+           .toPandas().set_index("lang"))
+    # en: target 1000 over 1000 tokens -> exactly 1 epoch, not capped
+    assert out.loc["en", "n_docs"] == 11          # NULL-text doc counted
+    assert out.loc["en", "n_tokens"] == 1000
+    assert out.loc["en", "epochs"] == 1.0
+    assert not out.loc["en", "capped"]
+    # de: target 1000 over 100 tokens -> capped at 4 epochs, 400 achieved
+    assert out.loc["de", "capped"]
+    assert out.loc["de", "epochs"] == 4.0
+    assert out.loc["de", "achieved_tokens"] == 400
+    # xx absent from weights -> zero target, zero epochs, never capped
+    assert out.loc["xx", "target_tokens"] == 0.0
+    assert out.loc["xx", "epochs"] == 0.0
+    assert not out.loc["xx", "capped"]
+
+
+def test_epoch_plan_proportional_mode(spark):
+    """weights=None: every stratum's target is its natural share, so
+    epochs are uniform across strata (= budget / total)."""
+    from pyspark.sql import functions as F
+    from dqm_spark.operators.sampling import epoch_plan
+    rows = [(0, "en", "a " * 29 + "a"), (1, "de", "b " * 9 + "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = (epoch_plan(df, F.size(F.split(F.col("text"), " ")), 80,
+                      "lang")
+           .toPandas().set_index("lang"))
+    assert out.loc["en", "epochs"] == 2.0 and out.loc["de", "epochs"] == 2.0
+    assert out.loc["en", "achieved_tokens"] == 60
+    assert out.loc["de", "achieved_tokens"] == 20
