@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "code_test_pairs",
     # round-3 close: iterative graph + sketch + weighted sampling
     "repo_import_pagerank", "doc_hll_registers", "doc_weighted_sample",
+    "repo_file_topo", "code_docstring_pairs",
 ]
 
 
