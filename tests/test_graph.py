@@ -196,3 +196,39 @@ def test_topo_layers_chain_diamond_cycle(spark):
            for r in topo_layers(df, iterations=3).collect()}
     assert got == {"a0": 0, "a1": 1, "a2": 2, "a3": 3,
                    "ext": 0, "m1": 1, "d": 2, "c1": 3, "c2": 3}
+
+
+def test_topo_layers_matches_python_fixpoint_on_random_graphs(spark):
+    """The operator's contract IS the K-round recurrence; replay it in
+    plain Python over seeded random graphs (acyclic and cyclic) and
+    compare exactly."""
+    import random
+
+    from dqm_spark.operators.graph import topo_layers
+
+    rng = random.Random(42)
+    for trial, cyclic in [(0, False), (1, True), (2, True)]:
+        n = 30
+        edges = set()
+        for _ in range(60):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b:
+                continue
+            if not cyclic and a < b:      # i<j only -> acyclic
+                edges.add((f"n{b}", f"n{a}"))
+            elif cyclic:
+                edges.add((f"n{a}", f"n{b}"))
+        if not edges:
+            continue
+        K = 3
+        nodes = {x for e in edges for x in e}
+        layer = {v: 0 for v in nodes}
+        for _ in range(K):
+            layer = {
+                v: max([layer[d] + 1 for s, d in edges if s == v],
+                       default=0)
+                for v in nodes}
+        df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {r.node: r.layer
+               for r in topo_layers(df, iterations=K).collect()}
+        assert got == layer, f"trial {trial}"

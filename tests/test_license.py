@@ -67,3 +67,46 @@ def test_license_conflicts_mode_and_flags(spark):
     assert rows[5].repo_license == "MIT" and not rows[5].conflict
     # repo with no detectable license: NULL dominant, no conflicts
     assert pd.isna(rows[6].repo_license) and not rows[6].conflict
+
+
+def test_license_conflicts_matches_pandas_reference(spark):
+    """Seeded random corpus: the mode election and conflict flags match
+    an independent pandas re-derivation row for row."""
+    import random
+
+    from dqm_spark.operators.license import license_conflicts
+
+    rng = random.Random(7)
+    headers = {
+        "MIT": "MIT License",
+        "Apache-2.0": "SPDX-License-Identifier: Apache-2.0",
+        "GPL": "GNU General Public License",
+        "unknown": "plain code, no header",
+    }
+    rows = []
+    for i in range(120):
+        lic = rng.choice(list(headers))
+        rows.append((i, f"r{rng.randrange(8)}", headers[lic], lic))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "repo", "content", "lic"])
+    out = (license_conflicts(
+        spark.createDataFrame(pdf[["doc_id", "repo", "content"]]),
+        "content", "repo", "doc_id").toPandas()
+        .set_index("doc_id").sort_index())
+    assert len(out) == 120
+    # reference mode: max count, ties -> lexicographically greatest id
+    dom = {}
+    known = pdf[pdf["lic"] != "unknown"]
+    for repo, grp in known.groupby("repo"):
+        counts = grp["lic"].value_counts()
+        best = max(counts.index, key=lambda s: (counts[s], s))
+        dom[repo] = best
+    for r in pdf.itertuples(index=False):
+        got = out.loc[r.doc_id]
+        assert got["license"] == r.lic
+        want_dom = dom.get(r.repo)
+        if want_dom is None:
+            assert pd.isna(got["repo_license"]) and not got["conflict"]
+        else:
+            assert got["repo_license"] == want_dom
+            assert got["conflict"] == (
+                r.lic != "unknown" and r.lic != want_dom)
