@@ -317,11 +317,11 @@ def split_blocks(df: DataFrame, content: str = "text",
 
 # Docstring span: a triple-quoted run with no quote character inside —
 # the explicit-class form shared by Java regex and RE2, so the DuckDB
-# oracle restates it verbatim. Multi-docstring blocks: Spark's
-# regexp_replace strips every occurrence while DuckDB's default strips
-# the first, so `docstring_pairs` guarantees single-occurrence by
-# construction (the pair filter takes the FIRST span and the planted
-# oracle corpora carry exactly one per block).
+# oracle restates it verbatim. Pair-contract limitations (documented,
+# not silent): a docstring containing a '"' character is not matched
+# (the block yields no pair), and only the FIRST span in a block is
+# treated as the docstring — later triple-quoted string literals in
+# the body are left intact on the hashed code side.
 _DOCSTRING_RE = '"""([^"]*)"""'
 
 
@@ -348,11 +348,27 @@ def docstring_pairs(df: DataFrame, content: str = "text",
     name = F.regexp_extract(
         F.col("btext"), "^def ([A-Za-z_][A-Za-z0-9_]*)", 1)
     doc = F.regexp_extract(F.col("btext"), _DOCSTRING_RE, 1)
-    code = F.regexp_replace(
-        F.col("btext"), '[ \\t]*' + _DOCSTRING_RE + '\\n?', "")
+    # Strip ONLY the first span. regexp_replace would strip EVERY
+    # '"""..."""' occurrence — on real code that also removes
+    # triple-quoted string literals from the function body before
+    # hashing. Excise by position instead: the first regex match is
+    # the leftmost occurrence of its own matched text (the matched
+    # literal itself satisfies the pattern), so locate() on the
+    # extracted span finds exactly the span the regex matched.
+    span = F.regexp_extract(
+        F.col("btext"), '([ \\t]*' + _DOCSTRING_RE + '\\n?)', 1)
+    pos = F.expr("instr(btext, __span)")
+    code = F.when(
+        F.col("__span") == "", F.col("btext")
+    ).otherwise(
+        F.concat(
+            F.substring(F.col("btext"), F.lit(1), pos - F.lit(1)),
+            F.col("btext").substr(pos + F.length("__span"),
+                                  F.length("btext"))))
     return (
         blocks
         .filter(F.col("btext").rlike("^def "))
+        .withColumn("__span", span)
         .select(
             F.col(id_col), F.col("bstart"),
             name.alias("func_name"), doc.alias("docstring"),

@@ -10,7 +10,7 @@ perplexity scorer that fills their *role* in the quality filter.
 * plane-sum linearity (FourierContainer.hpp:168-175): rfft is linear, so
   the spectrum of a SUM of series equals the sum of spectra — the grand
   total costs one combine of per-group partials, never a rescan. Verified
-  in tests/test_fourier.py.
+  in tests/test_repo_stats_fourier.py.
 """
 
 from __future__ import annotations

@@ -305,7 +305,13 @@ def epoch_plan(df: DataFrame, tokens: Column, budget: int,
     input to a sampler/loader, not a row filter. Ratios are rounded
     (targets to 4 places, epochs to 6) so cross-engine IEEE compares
     are exact. Strata absent from an explicit `weights` dict get weight
-    0 (target 0, epochs 0).
+    0 (target 0, epochs 0). The reverse gap is reported too: a key
+    present in `weights` but with ZERO documents in the corpus yields
+    an explicit plan row (n_docs=0, n_tokens=0, epochs=0, capped=true)
+    — the shortfall is visible to the downstream sampler instead of
+    silently vanishing from the plan. Zero-token strata (possible with
+    a custom `tokens` column) report epochs=0 rather than the NULL /
+    max_epochs artifact a raw target/0 division would produce.
 
     Scale shape: ONE partial-agg'd hash aggregation over the corpus
     (census keyed by the tiny stratum cardinality); the plan arithmetic
@@ -329,14 +335,27 @@ def epoch_plan(df: DataFrame, tokens: Column, budget: int,
             F.col("n_tokens").cast("double") / F.col("__tot"))
     else:
         wsum = float(sum(weights.values()))
-        w = F.lit(0.0)
-        for stratum, wt in sorted(weights.items()):
-            w = (F.when(F.col("stratum") == stratum, F.lit(wt / wsum))
-                 .otherwise(w))
-        target = F.lit(float(budget)) * w
+        wrows = df.sparkSession.createDataFrame(
+            [(str(k), float(v) / wsum) for k, v in sorted(weights.items())],
+            schema="stratum string, __w double")
+        # full outer: census-only strata get weight 0; weights-only
+        # strata (no documents) still get a plan row so the shortfall
+        # is reported rather than silently shifting budget.
+        census = (
+            census.join(wrows, "stratum", "full_outer")
+            .select(
+                "stratum",
+                F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+                F.coalesce("n_tokens",
+                           F.lit(0).cast("long")).alias("n_tokens"),
+                F.coalesce("__w", F.lit(0.0)).alias("__w"))
+        )
+        target = F.lit(float(budget)) * F.col("__w")
     epochs = F.round(
         F.least(F.lit(float(max_epochs)),
-                target / F.col("n_tokens").cast("double")), 6)
+                F.when(F.col("n_tokens") > 0,
+                       target / F.col("n_tokens").cast("double"))
+                .otherwise(F.lit(0.0))), 6)
     return census.select(
         F.col("stratum").alias(stratum_col), "n_docs", "n_tokens",
         F.round(target, 4).alias("target_tokens"),

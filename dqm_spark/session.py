@@ -14,6 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap_gb(cpus: int) -> int:
+    """~1 GB/core with an 8g floor, capped at half of physical RAM
+    (never below 2g) so the default cannot request a heap a small host
+    cannot grant."""
+    heap = max(8, cpus)
+    try:
+        ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                  ) // (1024 ** 3)
+        heap = min(heap, max(2, int(ram_gb) // 2))
+    except (ValueError, OSError, AttributeError):
+        pass  # non-POSIX: keep the core-derived default
+    return heap
+
+
 def get_spark(app_name: str = "dqm-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -53,11 +67,13 @@ def get_spark(app_name: str = "dqm-spark", master: str | None = None,
         # GC-thrashes — measured 2.2x qf throughput at local[32] moving
         # 8g -> 32g on a 2M-row run. On a real cluster this maps to
         # spark.executor.memory per executor, not the driver. cpus is
-        # already clamped to the host's cores above, so this cannot
-        # request a 32g heap on a small machine; SPARK_DRIVER_MEM
+        # already clamped to the host's cores above, and the request is
+        # additionally capped at half of physical RAM (the 8g floor
+        # alone would still OOM-kill a <8 GB host); SPARK_DRIVER_MEM
         # overrides.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"))
+                os.environ.get("SPARK_DRIVER_MEM",
+                               f"{_default_heap_gb(cpus)}g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -436,3 +436,21 @@ def test_truncation_flags_arms(spark):
     assert out.loc[5, "brace_delta"] == 1 and out.loc[5, "ends_mid_token"]
     assert pd.isna(out.loc[6, "paren_delta"])
     assert pd.isna(out.loc[6, "truncation_suspect"])
+
+
+def test_docstring_pairs_strips_first_span_only(spark):
+    """A triple-quoted string LITERAL in the function body must survive
+    the docstring strip: only the first span is the docstring
+    (ADVICE r4 code.py:325 — regexp_replace stripped every span)."""
+    import hashlib
+    from dqm_spark.operators.code import docstring_pairs
+    body = ('def tmpl():\n    """make template"""\n'
+            '    s = """born to be kept"""\n    return s')
+    df = spark.createDataFrame([(0, body)], ["doc_id", "text"])
+    out = docstring_pairs(df, "text", "doc_id").toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["docstring"] == "make template"
+    stripped = ('def tmpl():\n'
+                '    s = """born to be kept"""\n    return s')
+    assert row["code_sha"] == hashlib.sha256(stripped.encode()).hexdigest()

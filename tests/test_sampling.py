@@ -109,3 +109,31 @@ def test_epoch_plan_proportional_mode(spark):
     assert out.loc["en", "epochs"] == 2.0 and out.loc["de", "epochs"] == 2.0
     assert out.loc["en", "achieved_tokens"] == 60
     assert out.loc["de", "achieved_tokens"] == 20
+
+
+def test_epoch_plan_reports_absent_and_zero_token_strata(spark):
+    """ADVICE r4 sampling.py:321/:338 — a weights key with no documents
+    yields an explicit shortfall row (n_docs=0, capped=true), and a
+    zero-token stratum reports epochs=0, never NULL/max_epochs."""
+    from pyspark.sql import functions as F
+    from dqm_spark.operators.sampling import epoch_plan
+    rows = [(0, "en", "a " * 9 + "a"),            # 10 tokens
+            (1, "zz", None)]                       # 0 tokens, weighted
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = (epoch_plan(df, F.size(F.split(F.col("text"), " ")), 100,
+                      "lang", max_epochs=4.0,
+                      weights={"en": 50, "de": 25, "zz": 25})
+           .toPandas().set_index("lang"))
+    # de is weighted but has zero documents: the plan must still show it
+    assert out.loc["de", "n_docs"] == 0
+    assert out.loc["de", "n_tokens"] == 0
+    assert out.loc["de", "target_tokens"] == 25.0
+    assert out.loc["de", "epochs"] == 0.0
+    assert out.loc["de", "achieved_tokens"] == 0
+    assert out.loc["de", "capped"]          # target > 4 * 0 tokens
+    # zz exists but its only text is NULL -> 0 tokens: same guard
+    assert out.loc["zz", "n_tokens"] == 0
+    assert out.loc["zz", "epochs"] == 0.0
+    assert out.loc["zz", "capped"]
+    # en unaffected by the guard path
+    assert out.loc["en", "epochs"] == 4.0 and out.loc["en", "capped"]
