@@ -31,11 +31,29 @@ FFT_SCHEMA = StructType([
     StructField("spectrum", ArrayType(DoubleType())),  # |rfft| magnitudes
 ])
 
+# with a sample_rate: the physical frequency axis rides along, as the
+# reference emits it (src/algs/Fourier.cpp:106-116 — rfftfreq against
+# the 62.5 MHz readout clock)
+FFT_SCHEMA_HZ = StructType(
+    FFT_SCHEMA.fields
+    + [StructField("freq_hz", ArrayType(DoubleType()))])
+
 
 def fft_per_group(df: DataFrame, group: str, order: list[str],
                   value: str, n_points: int = 64,
-                  min_points: int = 8) -> DataFrame:
-    """Per-group |rfft| over the first n_points values in `order` order."""
+                  min_points: int = 8,
+                  sample_rate: float | None = None) -> DataFrame:
+    """Per-group |rfft| over the first n_points values in `order` order.
+
+    When `sample_rate` (Hz) is given, a `freq_hz` array accompanies the
+    spectrum: bin k maps to k * (sample_rate / n) — evaluated in exactly
+    that IEEE op order (one division, one multiply, both correctly
+    rounded) so SQL engines restating the same expression produce
+    bit-identical doubles. This is the reference's physical axis
+    (/root/reference/src/algs/Fourier.cpp:106-116: rfftfreq with the
+    62.5 MHz clock), absent from the bare spectrum path by default for
+    back-compat."""
+    schema = FFT_SCHEMA if sample_rate is None else FFT_SCHEMA_HZ
 
     # full hints so applyInPandas infers the grouped-map eval type without
     # the "cannot infer" warning path
@@ -44,15 +62,22 @@ def fft_per_group(df: DataFrame, group: str, order: list[str],
         vals = pdf[value].to_numpy(dtype=np.float64)[:n_points]
         gid = int(key[0])
         if vals.size < min_points:
-            return pd.DataFrame([{
+            row = {
                 "group_id": gid, "n_points": int(vals.size),
                 "top_freq_idx": None, "spectrum": None,
-            }])
+            }
+            if sample_rate is not None:
+                row["freq_hz"] = None
+            return pd.DataFrame([row])
         mag = np.abs(np.fft.rfft(vals))
         top = int(np.argmax(mag[1:]) + 1) if mag.size > 1 else 0
-        return pd.DataFrame([{
+        row = {
             "group_id": gid, "n_points": int(vals.size),
             "top_freq_idx": top, "spectrum": mag.tolist(),
-        }])
+        }
+        if sample_rate is not None:
+            step = sample_rate / vals.size
+            row["freq_hz"] = (np.arange(mag.size) * step).tolist()
+        return pd.DataFrame([row])
 
-    return df.groupBy(group).applyInPandas(fft, FFT_SCHEMA)
+    return df.groupBy(group).applyInPandas(fft, schema)

@@ -119,3 +119,29 @@ def test_grouped_topk_matches_plain_window(spark, feats):
         .sort_values(["repo", "rnk"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_fft_physical_frequency_axis(spark):
+    """sample_rate adds the reference's physical axis
+    (/root/reference/src/algs/Fourier.cpp:106-116): bin k -> k * fs/n,
+    with the planted bin-5 sine landing on 5 * fs/64."""
+    fs = 62_500_000.0
+    rows = [(0, t, float(np.sin(2 * np.pi * 5 * t / 64)))
+            for t in range(64)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "seq", "value"]))
+    out = fft_per_group(df, "user_id", ["seq"], "value",
+                        sample_rate=fs).toPandas()
+    row = out.iloc[0]
+    freqs = row["freq_hz"]
+    assert len(freqs) == 33 and len(row["spectrum"]) == 33
+    assert freqs[0] == 0.0
+    assert freqs[5] == 5 * (fs / 64)          # exact IEEE equality
+    assert row["top_freq_idx"] == 5
+    # short groups keep a null axis alongside the null spectrum
+    short = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1] * 3, "seq": range(3),
+                      "value": [1.0] * 3}))
+    o2 = fft_per_group(short, "user_id", ["seq"], "value",
+                       sample_rate=fs).toPandas()
+    assert o2["freq_hz"].isna().all()
