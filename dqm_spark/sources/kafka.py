@@ -1,0 +1,85 @@
+"""Kafka metric-stream sink — gated on the connector jar being present.
+
+The reference's actual metric sink is Kafka: `Exporter` owns a producer
+configured with (address, topic) and `ChannelStream.transmit` publishes
+one message per (run, plane, algorithm) group — a JSON header line plus
+a packed payload (/root/reference/include/dqm/Exporter.hpp:38-62,
+include/dqm/ChannelStream.hpp:170-221). SURVEY maps that sink onto an
+Iceberg/parquet metrics table as the production target (sources/
+iceberg.py); this module completes the sink-parity story with the
+literal Kafka option, degrading explicitly like the Iceberg gate does:
+
+* `kafka_available(spark)` — probes for the Spark Kafka source provider;
+* `metric_records(df, run_id)` — pure record shaping (key = the dqm
+  header key, value = one JSON document per row). No jar needed; this
+  is the part unit tests exercise.
+* `append_kafka(df, ...)` — `format("kafka")` publish when the
+  connector is live, else a parquet "spool" of the exact (key, value)
+  records a broker would have received (same records, same bytes —
+  replayable with a real producer later).
+
+To enable on a real cluster:
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<v> ...
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+def metric_records(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key, value) string records from any metrics/alerts DataFrame.
+
+    key = the dqm-style header key — `key_cols` joined with '/', the
+    (source, run, partition, plane, algorithm) analog
+    (/root/reference/include/dqm/ChannelStream.hpp:170-199); value = the
+    full row as one JSON document. Keying by the header means a
+    partitioned topic preserves per-group ordering, exactly the
+    property the reference's per-stream producer relies on. Pure
+    codegen'd projection — no UDF, no shuffle."""
+    return df.select(
+        F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+        .alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def append_kafka(df: DataFrame, key_cols: list[str], *,
+                 bootstrap: str = "localhost:9092",
+                 topic: str = "dqm-metrics",
+                 spool_dir: str | None = None,
+                 available: bool | None = None) -> str:
+    """Publish metric records to Kafka, or spool them to parquet.
+
+    `available=None` probes the session (the normal path); tests pass
+    an explicit bool to exercise both arms of the gate. Returns which
+    sink ran: "kafka" or "spool". The spool is not a silent no-op — it
+    holds the byte-identical (key, value) records, so a later replay
+    into a real broker emits exactly what this run would have."""
+    spark = df.sparkSession
+    recs = metric_records(df, key_cols)
+    if available is None:
+        available = kafka_available(spark)
+    if available:
+        (recs.write.format("kafka")
+         .option("kafka.bootstrap.servers", bootstrap)
+         .option("topic", topic)
+         .save())
+        return "kafka"
+    if spool_dir is None:
+        raise ValueError(
+            "Kafka connector not on the classpath and no spool_dir "
+            "fallback given — pass spool_dir= or add "
+            "spark-sql-kafka-0-10 via --packages")
+    recs.write.mode("append").parquet(spool_dir)
+    return "spool"
