@@ -1,0 +1,124 @@
+"""Composed-corpus dress rehearsal (VERDICT r3 next-round #8).
+
+One sustained `prepare_corpus` run — exact + minhash dedup, benchmark
+decontamination, exact-substring dedup, mixture sampling, real parquet
+sink — at SPARK_GRAFT_REHEARSAL_ROWS (default 8M) synthetic rows,
+reporting per-stage wall plus the run's shuffle bytes. The decision
+path has 2M/4M flat-per-row evidence (BASELINE.md); this measures the
+COMPOSED pipeline the same way and records it beside that table.
+
+Per-stage walls are obtained by materializing the pipeline in stage
+prefixes (each prefix writes to a noop sink, so stage N's wall is
+prefix(N) - prefix(N-1) on a warm cache); the final full run writes the
+real parquet sink. Stage costs overlap in one fused Spark plan, so the
+prefix deltas are an upper bound per stage and the full-run wall is the
+honest composed number.
+
+Usage:  python corpus_rehearsal.py            # 8M rows, local[32]
+        SPARK_GRAFT_REHEARSAL_ROWS=2000000 python corpus_rehearsal.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+ROWS = int(os.environ.get("SPARK_GRAFT_REHEARSAL_ROWS", "8000000"))
+OUT = os.environ.get("SPARK_GRAFT_REHEARSAL_OUT", "/tmp/dqm_rehearsal")
+EVLOG = "/tmp/dqm_rehearsal_eventlog"
+
+
+def shuffle_totals() -> dict[str, int]:
+    """Sum shuffle read/write bytes over every task of the run by
+    parsing the Spark event log (the same numbers the UI shows; no
+    status-store JVM introspection needed)."""
+    rd = wr = 0
+    for fn in os.listdir(EVLOG):
+        path = os.path.join(EVLOG, fn)
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                tm = ev.get("Task Metrics") or {}
+                srm = tm.get("Shuffle Read Metrics") or {}
+                swm = tm.get("Shuffle Write Metrics") or {}
+                rd += (srm.get("Remote Bytes Read", 0)
+                       + srm.get("Local Bytes Read", 0))
+                wr += swm.get("Shuffle Bytes Written", 0)
+    return {"shuffle_read_bytes": int(rd), "shuffle_write_bytes": int(wr)}
+
+
+def main() -> None:
+    from dqm_spark.corpus import prepare_corpus
+    from dqm_spark.session import get_spark
+    from dqm_spark.synth import gen_spark
+
+    os.makedirs(EVLOG, exist_ok=True)
+    for old in os.listdir(EVLOG):
+        os.unlink(os.path.join(EVLOG, old))
+    spark = get_spark("corpus-rehearsal", extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{EVLOG}",
+    })
+    cpus = int(spark.sparkContext.defaultParallelism)
+    inp = f"/tmp/dqm_bench_cache/rehearsal_n{ROWS}"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        gen_spark(spark, ROWS, partitions=max(cpus * 4, 64)) \
+            .write.mode("overwrite").parquet(inp)
+    src = spark.read.parquet(inp)
+    bench = src.limit(200).select("content")   # broadcast decontam side
+
+    def run(label: str, sink: str, **kw) -> float:
+        t0 = time.monotonic()
+        res = prepare_corpus(src, spark, run_id=f"rehearsal-{label}", **kw)
+        if sink == "noop":
+            res.kept.write.format("noop").mode("overwrite").save()
+        else:
+            res.kept.write.mode("overwrite").parquet(sink)
+            res.metrics.write.mode("overwrite").parquet(sink + "_metrics")
+        return round(time.monotonic() - t0, 2)
+
+    stages: dict[str, float] = {}
+    # stage prefixes (noop sink): the delta isolates each added stage
+    stages["p1_exact_dedup"] = run("p1", "noop", near_dedup=False)
+    stages["p2_plus_minhash"] = run("p2", "noop")
+    stages["p3_plus_decontam"] = run(
+        "p3", "noop", decontaminate_against=bench)
+    stages["p4_plus_substring"] = run(
+        "p4", "noop", decontaminate_against=bench, substring_dedup=True)
+    stages["p5_plus_mixture"] = run(
+        "p5", "noop", decontaminate_against=bench, substring_dedup=True,
+        mixture={"en": 50, "de": 25, "fr": 25})
+    # the composed run, real sink
+    t_full = run("full", OUT, decontaminate_against=bench,
+                 substring_dedup=True,
+                 mixture={"en": 50, "de": 25, "fr": 25})
+    kept_rows = spark.read.parquet(OUT).count()
+    result = {
+        "rows": ROWS,
+        "cpus": cpus,
+        "prefix_walls_sec": stages,
+        "stage_deltas_sec": {
+            "exact_dedup_quality_scrub": stages["p1_exact_dedup"],
+            "minhash_near_dedup": round(
+                stages["p2_plus_minhash"] - stages["p1_exact_dedup"], 2),
+            "decontaminate": round(
+                stages["p3_plus_decontam"] - stages["p2_plus_minhash"], 2),
+            "substring_dedup": round(
+                stages["p4_plus_substring"] - stages["p3_plus_decontam"], 2),
+            "mixture_sample": round(
+                stages["p5_plus_mixture"] - stages["p4_plus_substring"], 2),
+        },
+        "composed_full_parquet_sink_sec": t_full,
+        "composed_files_per_sec": round(ROWS / t_full, 1),
+        "kept_rows": kept_rows,
+    }
+    spark.stop()          # flushes the event log
+    result.update(shuffle_totals())
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
