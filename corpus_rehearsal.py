@@ -34,8 +34,11 @@ def shuffle_totals() -> dict[str, int]:
     parsing the Spark event log (the same numbers the UI shows; no
     status-store JVM introspection needed)."""
     rd = wr = 0
-    for fn in os.listdir(EVLOG):
-        path = os.path.join(EVLOG, fn)
+    paths = []
+    for root, _dirs, files in os.walk(EVLOG):
+        paths += [os.path.join(root, f) for f in files
+                  if not f.startswith("appstatus")]
+    for path in paths:
         with open(path, errors="replace") as f:
             for line in f:
                 if '"SparkListenerTaskEnd"' not in line:
@@ -55,11 +58,12 @@ def main() -> None:
     from dqm_spark.session import get_spark
     from dqm_spark.synth import gen_spark
 
+    import shutil
+    shutil.rmtree(EVLOG, ignore_errors=True)
     os.makedirs(EVLOG, exist_ok=True)
-    for old in os.listdir(EVLOG):
-        os.unlink(os.path.join(EVLOG, old))
     spark = get_spark("corpus-rehearsal", extra_conf={
         "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",   # plain JSON for the parser
         "spark.eventLog.dir": f"file://{EVLOG}",
     })
     cpus = int(spark.sparkContext.defaultParallelism)
@@ -68,7 +72,18 @@ def main() -> None:
         gen_spark(spark, ROWS, partitions=max(cpus * 4, 64)) \
             .write.mode("overwrite").parquet(inp)
     src = spark.read.parquet(inp)
-    bench = src.limit(200).select("content")   # broadcast decontam side
+    # broadcast decontam side: 200 synthetic benchmark docs with a
+    # DISJOINT vocabulary. (Corpus-sampled bench rows would share pool
+    # lines with most synthetic docs — the 8-gram match would drop
+    # nearly the whole corpus and starve every later stage; here the
+    # stage pays its full broadcast + probe cost while survivors flow
+    # through to price the downstream stages.)
+    from pyspark.sql import functions as F
+    bench = spark.range(200).select(
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"bmtok{j}x"), F.col("id").cast("string"))
+            for j in range(24)
+        ]).alias("content"))
 
     def run(label: str, sink: str, **kw) -> float:
         t0 = time.monotonic()
@@ -81,6 +96,9 @@ def main() -> None:
         return round(time.monotonic() - t0, 2)
 
     stages: dict[str, float] = {}
+    # warmup: JVM/Arrow-worker spin-up + input page cache, so prefix
+    # deltas are not dominated by first-run session costs
+    run("warmup", "noop", near_dedup=False)
     # stage prefixes (noop sink): the delta isolates each added stage
     stages["p1_exact_dedup"] = run("p1", "noop", near_dedup=False)
     stages["p2_plus_minhash"] = run("p2", "noop")
@@ -90,11 +108,11 @@ def main() -> None:
         "p4", "noop", decontaminate_against=bench, substring_dedup=True)
     stages["p5_plus_mixture"] = run(
         "p5", "noop", decontaminate_against=bench, substring_dedup=True,
-        mixture={"en": 50, "de": 25, "fr": 25})
+        mixture={"python": 40, "javascript": 30, "go": 30})
     # the composed run, real sink
     t_full = run("full", OUT, decontaminate_against=bench,
                  substring_dedup=True,
-                 mixture={"en": 50, "de": 25, "fr": 25})
+                 mixture={"python": 40, "javascript": 30, "go": 30})
     kept_rows = spark.read.parquet(OUT).count()
     result = {
         "rows": ROWS,
