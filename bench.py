@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # round-3 close: iterative graph + sketch + weighted sampling
     "repo_import_pagerank", "doc_hll_registers", "doc_weighted_sample",
     "repo_file_topo", "code_docstring_pairs",
+    # round 4: the two newly value-oracled kernels join the standing
+    # suite (suite total grows again — compare per-query)
+    "doc_winnow_overlap", "events_fft",
 ]
 
 

@@ -30,7 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .cachepool import CachePool
+
 _BASE = np.uint64(257)
+
+# most-recent winnow_overlap_pairs exploded-fingerprint cache (bounded
+# to one call; see winnow_overlap_pairs for why the persist exists)
+_WINNOW_POOL = CachePool()
+clear_winnow_cache = _WINNOW_POOL.clear
 
 
 def winnow_fingerprints_one(text: str, k: int = 25, w: int = 16) -> np.ndarray:
@@ -80,11 +87,22 @@ def winnow_overlap_pairs(df: DataFrame, content: str, id_col: str,
     winnowed fingerprints — partial-overlap (copied-region) candidates.
     Deterministic; id_a < id_b."""
     # (id, fp) rows are distinct by construction — winnow_fingerprints_one
-    # returns np.unique per doc — so no dedup shuffle is needed here
+    # returns np.unique per doc — so no dedup shuffle is needed here.
+    # The exploded table feeds THREE consumers (the rare-fp census and
+    # both sides of the pair self-join); without materialization each
+    # clones the whole scan→Arrow-UDF subtree — a round-4 plan audit
+    # counted six ArrowEvalPython nodes, i.e. the fingerprint kernel
+    # (the expensive part at corpus scale) computed 3x. Persisting the
+    # compact (id, fp) pairs — two longs per selected k-gram,
+    # MEMORY_AND_DISK so it spills rather than OOMs — evaluates the UDF
+    # exactly once; the pool retains at most ONE call's cache (same
+    # lifecycle contract as simhash_dedup's reps cache).
+    from pyspark import StorageLevel
     ex = (
         with_winnowing(df, content, k, w)
         .select(F.col(id_col), F.explode("winnow_fps").alias("fp"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _WINNOW_POOL.swap(ex)
     rare = ex.groupBy("fp").agg(
         F.count(F.lit(1)).alias("df_count")).filter(
         F.col("df_count") <= max_df).select("fp")
