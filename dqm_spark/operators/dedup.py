@@ -142,6 +142,16 @@ _MH_PERMS = 64          # signature length
 _MH_BANDS = 8           # 8 bands x 8 rows
 _PRIME = np.uint64(0x9E3779B97F4A7C15)
 
+# most-recent _bucket_min_dedup reps cache (bounded to one call — the
+# same lifecycle contract as _SIMHASH_POOL below)
+_MINHASH_POOL = CachePool()
+clear_minhash_cache = _MINHASH_POOL.clear
+
+# most-recent embedding_cosine_dedup exploded-bucket cache (same
+# one-call lifecycle)
+_EMB_POOL = CachePool()
+clear_embedding_cache = _EMB_POOL.clear
+
 
 def _mh_params(n: int) -> tuple[np.ndarray, np.ndarray]:
     # deterministic odd multipliers / offsets (splitmix64 stream)
@@ -306,8 +316,18 @@ def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
 
     canonical(row) = min id over rows sharing ≥1 band bucket — identical
     semantics to electing directly from rows, since min id among rows
-    with content c IS rep(c). No candidate pairs are ever enumerated."""
-    reps = _collapse_reps(df, content, id_col, bands_col)
+    with content c IS rep(c). No candidate pairs are ever enumerated.
+
+    The collapsed reps are persisted (MEMORY_AND_DISK, ~48 B per
+    DISTINCT content): `exploded` feeds BOTH the bucket-min census and
+    the canonical join, and without materialization each consumer
+    re-derives the scan → signature-UDF → collapse subtree — a round-4
+    plan audit counted the bands UDF cloned 2x. Same one-call CachePool
+    lifecycle as simhash_dedup's reps cache."""
+    from pyspark import StorageLevel
+    reps = _collapse_reps(df, content, id_col, bands_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _MINHASH_POOL.swap(reps)
     exploded = reps.select(
         "__digest", "rep_id",
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
@@ -647,10 +667,17 @@ def embedding_cosine_dedup(df: DataFrame, vec: str = "embedding",
     AND that share ≥1 LSH bucket. Bucket-local pair generation keeps the
     candidate set linear-ish (high-threshold dups almost always collide);
     AQE skew-join splitting handles a degenerate bucket."""
+    from pyspark import StorageLevel
+
     from ..operators.similarity import cosine_col, with_lsh_buckets
     b = with_lsh_buckets(df, vec, dim, n_planes, n_tables)
+    # both self-join sides consume the exploded bucket table; persist it
+    # so the LSH-bucket UDF subtree is evaluated once, not once per
+    # side (round-4 plan audit; same pattern as the LSH dedup tails)
     ex = b.select(F.col(id_col), F.col(vec),
-                  F.explode("lsh_buckets").alias("bucket"))
+                  F.explode("lsh_buckets").alias("bucket")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _EMB_POOL.swap(ex)
     a = ex.select(F.col("bucket"), F.col(id_col).alias("id_a"),
                   F.col(vec).alias("va"))
     c = ex.select(F.col("bucket"), F.col(id_col).alias("id_b"),
