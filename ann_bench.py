@@ -1,0 +1,120 @@
+"""ANN-at-scale bench (VERDICT r4 next-round #1 done-criterion): every
+*_topk variant over SPARK_GRAFT_ANN_VECS synthetic 64-dim vectors
+(default 2M — 33x the sf0.1 embeddings table), 8 queries, k=10.
+
+What this proves beyond the unit tests: with the round-5 two-phase
+top-k (partition-local prune inside the scoring pass + bounded final
+window), the wall is flat-per-vector in corpus size — the final window
+input is k x |queries| x n_partitions rows regardless of corpus size,
+where the round-4 plans serialized ALL scored candidates of a query
+into one window task. pre_window_rows is measured directly (the pruned
+frame's count) next to the corpus size it replaced.
+
+Vectors are deterministic (splitmix64 of id*dim+j mapped to [-1, 1)) —
+no RNG state, any partitioning generates identical data.
+
+Usage: python ann_bench.py            # 2M vectors
+       SPARK_GRAFT_ANN_VECS=200000 python ann_bench.py
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "2000000"))
+DIM = 64
+K = 10
+N_QUERIES = 8
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def gen_vectors(spark, n: int):
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def gen(batches):
+        j = np.arange(DIM, dtype=np.uint64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            z = _splitmix64(ids[:, None] * np.uint64(DIM) + j[None, :])
+            v = ((z >> np.uint64(11)).astype(np.float64)
+                 * (1.0 / (1 << 53)) * 2.0 - 1.0).astype(np.float32)
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": list(v),
+            })
+
+    cpus = int(spark.sparkContext.defaultParallelism)
+    return spark.range(0, n, numPartitions=max(cpus * 2, 16)) \
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dqm_spark.operators.similarity import (
+        brute_force_topk_pandas, ivf_topk, lsh_topk, local_topk_prune,
+        pq_refine_topk, pq_topk,
+    )
+    from dqm_spark.session import get_spark
+
+    spark = get_spark("ann-bench")
+    inp = f"/tmp/dqm_bench_cache/annvec_n{VECS}"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        gen_vectors(spark, VECS).write.mode("overwrite").parquet(inp)
+    e = spark.read.parquet(inp)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+
+    walls = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn().count()
+        walls[name] = round(time.time() - t0, 2)
+        return n
+
+    # warmup scan (parquet footer caches, executor spin-up)
+    e.count()
+    n_brute = run("bruteforce_gemm", lambda: brute_force_topk_pandas(
+        e, q, k=K))
+    run("lsh", lambda: lsh_topk(e, q, k=K))
+    run("ivf", lambda: ivf_topk(e, q, k=K, n_cells=16, n_probe=4))
+    run("pq_adc", lambda: pq_topk(e, q, k=K))
+    run("pq_refine", lambda: pq_refine_topk(e, q, k=K, m=50))
+
+    # the scale evidence: rows entering the final window vs corpus size
+    from dqm_spark.operators.similarity import cosine_col
+    qq = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec"))
+    scored = (
+        e.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine_col(F.col("embedding"),
+                           F.col("query_vec")).alias("cosine"))
+    )
+    pre_window = local_topk_prune(scored, K).count()
+
+    total = round(sum(walls.values()), 2)
+    print(json.dumps({
+        "metric": "ann_suite_wall", "value": total, "unit": "sec",
+        "vectors": VECS, "dim": DIM, "k": K, "queries": N_QUERIES,
+        "walls_sec": walls,
+        "topk_rows": int(n_brute),
+        "pre_window_rows": int(pre_window),
+        "corpus_rows_a_window_would_have_sorted": VECS * N_QUERIES,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     # round 4: the two newly value-oracled kernels join the standing
     # suite (suite total grows again — compare per-query)
     "doc_winnow_overlap", "events_fft",
+    # round 5: the ADC-shortlist + exact-rerank ANN (value-oracled
+    # against plain exact SQL; the 2M-vector wall lives in ann_bench.py)
+    "ann_pq_refine",
 ]
 
 

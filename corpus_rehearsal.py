@@ -30,7 +30,9 @@ EVLOG = "/tmp/dqm_rehearsal_eventlog"
 
 
 def shuffle_totals() -> dict[str, int]:
-    """Sum shuffle read/write bytes over every task of the run by
+    """Sum shuffle read/write bytes over every task of the SESSION
+    (warmup + all prefixes + the composed run — hence the session_
+    key prefix; per-run shuffle would need per-run event logs) by
     parsing the Spark event log (the same numbers the UI shows; no
     status-store JVM introspection needed)."""
     rd = wr = 0
@@ -50,7 +52,22 @@ def shuffle_totals() -> dict[str, int]:
                 rd += (srm.get("Remote Bytes Read", 0)
                        + srm.get("Local Bytes Read", 0))
                 wr += swm.get("Shuffle Bytes Written", 0)
-    return {"shuffle_read_bytes": int(rd), "shuffle_write_bytes": int(wr)}
+    return {"session_shuffle_read_bytes": int(rd),
+            "session_shuffle_write_bytes": int(wr)}
+
+
+def _raw_deltas(stages: dict) -> dict:
+    return {
+        "exact_dedup_quality_scrub": stages["p1_exact_dedup"],
+        "minhash_near_dedup": round(
+            stages["p2_plus_minhash"] - stages["p1_exact_dedup"], 2),
+        "decontaminate": round(
+            stages["p3_plus_decontam"] - stages["p2_plus_minhash"], 2),
+        "substring_dedup": round(
+            stages["p4_plus_substring"] - stages["p3_plus_decontam"], 2),
+        "mixture_sample": round(
+            stages["p5_plus_mixture"] - stages["p4_plus_substring"], 2),
+    }
 
 
 def main() -> None:
@@ -118,17 +135,13 @@ def main() -> None:
         "rows": ROWS,
         "cpus": cpus,
         "prefix_walls_sec": stages,
+        # deltas of independently-noisy prefix walls: a negative
+        # difference means the added stage cost less than the wall
+        # noise, so clamp at 0 and record the raw value separately
+        # (r4 ADVICE — BASELINE's own 8M run showed p4 < p3)
         "stage_deltas_sec": {
-            "exact_dedup_quality_scrub": stages["p1_exact_dedup"],
-            "minhash_near_dedup": round(
-                stages["p2_plus_minhash"] - stages["p1_exact_dedup"], 2),
-            "decontaminate": round(
-                stages["p3_plus_decontam"] - stages["p2_plus_minhash"], 2),
-            "substring_dedup": round(
-                stages["p4_plus_substring"] - stages["p3_plus_decontam"], 2),
-            "mixture_sample": round(
-                stages["p5_plus_mixture"] - stages["p4_plus_substring"], 2),
-        },
+            k: max(v, 0.0) for k, v in _raw_deltas(stages).items()},
+        "stage_deltas_raw_sec": _raw_deltas(stages),
         "composed_full_parquet_sink_sec": t_full,
         "composed_files_per_sec": round(ROWS / t_full, 1),
         "kept_rows": kept_rows,

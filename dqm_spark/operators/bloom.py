@@ -27,9 +27,10 @@ pandas_udf against a broadcast byte-string.
 broadcast; for a 10^12-key corpus shard the filter by digest prefix
 (build S independent blooms, probe routes each key to its shard) —
 the plumbing below is shard-oblivious because both build and probe key
-on xxhash64(content). Driver-side OR here folds ~numPartitions small
-arrays; a real cluster would treeAggregate them (2-level OR) to keep
-driver ingress at O(m · sqrt(P)).
+on xxhash64(content). The partial bitmaps are OR-folded with a lazy-zero
+treeAggregate (executors combine sqrt(P)-ary before anything reaches the
+driver), so driver ingress is O(m · P^(1/depth)) and driver memory O(m)
+— never the O(m × P) of collecting every partition's bitmap.
 """
 
 from __future__ import annotations
@@ -87,9 +88,15 @@ def build_bloom(df: DataFrame, content: str,
     """(bitmap bytes, m, k) over xxhash64(content) of every row.
 
     One corpus scan; each partition folds its Arrow batches into a
-    local bitmap and emits it once, the driver ORs ~numPartitions
-    arrays. If expected_items is None an extra count() scan sizes the
-    filter first (pass the known corpus size to skip it).
+    local bitmap and emits it once. The ~numPartitions partial bitmaps
+    are then OR-folded with a lazy-zero `treeAggregate` (depth 2):
+    executors pre-combine ~sqrt(P)-ary, so the driver receives and ORs
+    only ~sqrt(P) bitmaps sequentially — O(m) driver memory, never the
+    O(m × P) of a collect-then-fold. The zero value is None (not a
+    zero bitmap) so the task closure stays bytes-sized rather than
+    shipping an m-bit array with every task. If expected_items is None
+    an extra count() scan sizes the filter first (pass the known corpus
+    size to skip it).
     """
     keys = df.select(F.xxhash64(F.col(content)).alias("__k"))
     n = expected_items if expected_items is not None else keys.count()
@@ -110,10 +117,25 @@ def build_bloom(df: DataFrame, content: str,
         if seen:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    parts = keys.mapInPandas(_partial, schema="bitmap binary").collect()
-    out = np.zeros(nbytes, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    def _seq(acc, row):
+        b = np.frombuffer(row["bitmap"], dtype=np.uint8)
+        if acc is None:
+            return b.copy()
+        acc |= b
+        return acc
+
+    def _comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        a |= b
+        return a
+
+    partials = keys.mapInPandas(_partial, schema="bitmap binary")
+    out = partials.rdd.treeAggregate(None, _seq, _comb, depth=2)
+    if out is None:                 # empty corpus: all-zero filter
+        out = np.zeros(nbytes, dtype=np.uint8)
     return out.tobytes(), m, k
 
 

@@ -38,3 +38,41 @@ class CachePool:
                 self._dfs.pop().unpersist()
             except Exception:
                 pass
+
+
+# persist-vs-recompute gate: below this estimated INPUT size, a shared
+# subtree is cheaper to recompute per consumer than to materialize
+# (measured: minhash at sf0.1 is ~25% faster unpersisted; at corpus
+# scale the signature UDF dominates and must not run once per branch)
+PERSIST_MIN_INPUT_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes (for a parquet
+    scan: the actual file bytes), or None when the JVM accessor is
+    unavailable (e.g. Spark Connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def maybe_persist(df: DataFrame, pool: CachePool,
+                  gate_df: DataFrame | None = None,
+                  min_bytes: int = PERSIST_MIN_INPUT_BYTES) -> DataFrame:
+    """Persist `df` (MEMORY_AND_DISK) into `pool` only when the
+    estimated size of `gate_df` (default: df itself — pass the operator
+    INPUT when the saving is an expensive UDF over it) reaches
+    `min_bytes`. Small inputs skip the materialization (recomputing the
+    shared subtree is cheaper); an UNKNOWN size persists — the
+    scale-safe default. Either way the previous call's cache is
+    released and `df` is returned."""
+    sz = plan_size_bytes(gate_df if gate_df is not None else df)
+    if sz is not None and sz < min_bytes:
+        pool.clear()
+        return df
+    from pyspark import StorageLevel
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pool.swap(out)
+    return out

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .cachepool import CachePool
+from .cachepool import CachePool, maybe_persist
 
 
 
@@ -319,15 +319,18 @@ def _bucket_min_dedup(df: DataFrame, content: str, id_col: str,
     with content c IS rep(c). No candidate pairs are ever enumerated.
 
     The collapsed reps are persisted (MEMORY_AND_DISK, ~48 B per
-    DISTINCT content): `exploded` feeds BOTH the bucket-min census and
-    the canonical join, and without materialization each consumer
-    re-derives the scan → signature-UDF → collapse subtree — a round-4
-    plan audit counted the bands UDF cloned 2x. Same one-call CachePool
-    lifecycle as simhash_dedup's reps cache."""
-    from pyspark import StorageLevel
-    reps = _collapse_reps(df, content, id_col, bands_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _MINHASH_POOL.swap(reps)
+    DISTINCT content) when the INPUT is large: `exploded` feeds BOTH
+    the bucket-min census and the canonical join, and without
+    materialization each consumer re-derives the scan → signature-UDF
+    → collapse subtree — a round-4 plan audit counted the bands UDF
+    cloned 2x, and ReuseExchange does not fire across Python-UDF
+    subtrees. Below cachepool.PERSIST_MIN_INPUT_BYTES the recompute is
+    cheaper than the materialization (measured ~25% at sf0.1), so small
+    inputs skip it. Cache lifecycle: one call — the next call (or
+    clear_minhash_cache()) releases it."""
+    reps = maybe_persist(
+        _collapse_reps(df, content, id_col, bands_col),
+        _MINHASH_POOL, gate_df=df)
     exploded = reps.select(
         "__digest", "rep_id",
         F.posexplode(bands_col).alias("band_idx", "band_hash"),
@@ -666,18 +669,19 @@ def embedding_cosine_dedup(df: DataFrame, vec: str = "embedding",
     """Embedding near-dup: rows whose cosine to a smaller-id row ≥ threshold
     AND that share ≥1 LSH bucket. Bucket-local pair generation keeps the
     candidate set linear-ish (high-threshold dups almost always collide);
-    AQE skew-join splitting handles a degenerate bucket."""
-    from pyspark import StorageLevel
+    AQE skew-join splitting handles a degenerate bucket.
 
+    Large inputs persist the exploded bucket table for the call's
+    duration (both self-join sides consume it; unpersisted, the
+    LSH-bucket UDF subtree runs once per side) — release it early with
+    clear_embedding_cache() if needed; small inputs skip the
+    materialization (cachepool.maybe_persist)."""
     from ..operators.similarity import cosine_col, with_lsh_buckets
     b = with_lsh_buckets(df, vec, dim, n_planes, n_tables)
-    # both self-join sides consume the exploded bucket table; persist it
-    # so the LSH-bucket UDF subtree is evaluated once, not once per
-    # side (round-4 plan audit; same pattern as the LSH dedup tails)
-    ex = b.select(F.col(id_col), F.col(vec),
-                  F.explode("lsh_buckets").alias("bucket")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _EMB_POOL.swap(ex)
+    ex = maybe_persist(
+        b.select(F.col(id_col), F.col(vec),
+                 F.explode("lsh_buckets").alias("bucket")),
+        _EMB_POOL, gate_df=df)
     a = ex.select(F.col("bucket"), F.col(id_col).alias("id_a"),
                   F.col(vec).alias("va"))
     c = ex.select(F.col("bucket"), F.col(id_col).alias("id_b"),

@@ -2,15 +2,33 @@
 
 * brute_force_topk — exact cosine top-k via a broadcast of the (small)
   query set: corpus stays partitioned, each task scores its slice against
-  the broadcast queries (one pass, zero shuffle except the final top-k,
-  which moves only k×|queries| rows thanks to per-partition pre-pruning by
-  Spark's TakeOrderedAndProject).
-* lsh_bucketed_topk — random-hyperplane LSH (deterministic planes):
-  vectors hash to sign-pattern buckets; only same-bucket candidates are
-  scored. The scale path: at 10^9 vectors the bucket join replaces the
-  full scan; recall is tunable with n_planes / n_tables.
+  the broadcast queries in one pass.
+* lsh_topk — random-hyperplane LSH (deterministic planes): vectors hash
+  to sign-pattern buckets; only same-bucket candidates are scored. The
+  scale path: at 10^9 vectors the bucket join replaces the full scan;
+  recall is tunable with n_planes / n_tables.
 * ivf_topk — IVF-style: k-means-free variant using a deterministic
   centroid subset; probe the nearest n_probe cells.
+* pq_topk / pq_refine_topk — product-quantization ADC shortlist, with an
+  optional exact-cosine re-rank of the shortlist.
+
+Every variant ends with the SAME bounded two-phase top-k: a
+partition-local top-k per query (`local_topk_prune`, or the equivalent
+running heap inside the scoring UDF for the Arrow paths), then one final
+`row_number` window over at most k × |queries| × n_partitions rows.
+
+Why pre-prune when Spark ≥3.5 already inserts WindowGroupLimit(Partial)
+for rank-filter windows (visible in PLANS.md)? Because that optimization
+limits what the exchange MOVES, not what the map side COMPUTES: its
+partial phase still SORTS each partition's full scored candidate set
+(O(N/P · log) over corpus-sized input), and for the Arrow-scored paths
+every one of the N × |queries| scored rows would still be materialized
+out of Python through Arrow first. The in-UDF running heap keeps the
+score matrix inside numpy and emits only k × |queries| rows per
+partition, so both the Arrow boundary and the JVM sort see
+corpus-size-free input; without it, a 10^9-vector corpus pays a
+10^9-row Arrow transfer + sort per partition before the group limit
+kicks in.
 
 Dot products use native higher-order functions (F.zip_with + F.aggregate)
 — JVM-side, no Python crossing — since embeddings here are 64-dim. (For
@@ -44,10 +62,62 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def local_topk_prune(scored: DataFrame, k: int, query_col: str = "query_id",
+                     neighbor_col: str = "neighbor_id",
+                     score_col: str = "cosine",
+                     dedup: bool = False) -> DataFrame:
+    """Partition-local top-k per query over a scored candidate frame.
+
+    One Arrow pass per partition keeps a running (score desc, neighbor
+    asc) top-k per query across batches, so the output is at most
+    k × |queries| rows PER PARTITION regardless of corpus size — the
+    pre-pruning phase every *_topk variant runs before its final global
+    window. The tie-break matches the final window's exactly, so any row
+    in the global top-k survives its partition's local top-k.
+
+    dedup=True additionally drops repeated (query, neighbor) pairs —
+    safe partition-locally for lsh_topk because the corpus side of the
+    bucket join stays partitioned as-is (queries broadcast), so every
+    multi-table duplicate of a pair lives in the same partition.
+    """
+    schema = scored.schema
+    asc = [False, True]
+    sort_cols = [score_col, neighbor_col]
+    subset = [query_col, neighbor_col]
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cur = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True)
+            if dedup:
+                cur = cur.drop_duplicates(subset)
+            cur = cur.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            state = cur.groupby(query_col, sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    return scored.mapInPandas(prune, schema)
+
+
+def _final_topk(pruned: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query over an already locally-pruned frame
+    (≤ k × |queries| × n_partitions input rows — corpus-size-free)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
                      vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """For each query row: top-k corpus rows by cosine (excluding self).
-    query_df is broadcast — the ChannelMap-lookup join shape."""
+    query_df is broadcast — the ChannelMap-lookup join shape. Scoring is
+    JVM-side; the top-k is two-phase (local_topk_prune + bounded final
+    window), so no task ever sorts a corpus-sized row set."""
     q = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("query_vec")
     )
@@ -56,13 +126,7 @@ def brute_force_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
         "query_id", F.col(id_col).alias("neighbor_id"),
         cosine_col(F.col(vec), F.col("query_vec")).alias("cosine"),
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _final_topk(local_topk_prune(scored, k), k)
 
 
 def brute_force_topk_pandas(df: DataFrame, query_df: DataFrame, k: int = 10,
@@ -70,7 +134,9 @@ def brute_force_topk_pandas(df: DataFrame, query_df: DataFrame, k: int = 10,
                             id_col: str = "vec_id") -> DataFrame:
     """Same semantics, numpy matmul inside an Arrow UDF — the high-dim path.
     Queries are collected (small) and broadcast; each batch scores with one
-    GEMM."""
+    GEMM. The UDF keeps a running per-query top-k across its partition's
+    batches (self excluded in-UDF), so it EMITS only k × |queries| rows
+    per partition — the N×Q scored matrix never leaves numpy."""
     spark = df.sparkSession
     qrows = query_df.select(id_col, vec).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
@@ -82,27 +148,38 @@ def brute_force_topk_pandas(df: DataFrame, query_df: DataFrame, k: int = 10,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, qm = bc.value
+        n_q = len(ids_b)
+        best_s = None   # (n_q, ≤k) running scores, -inf = empty slot
+        best_i = None   # (n_q, ≤k) matching neighbor ids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.array(pdf[vec].tolist(), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ qm.T                      # (rows, queries)
             nid = pdf[id_col].to_numpy(dtype=np.int64)
-            n, q = sims.shape
+            s_t = (m @ qm.T).T                   # (n_q, rows)
+            s_t[nid[None, :] == ids_b[:, None]] = -np.inf   # self-exclude
+            i_t = np.broadcast_to(nid, (n_q, len(nid)))
+            if best_s is not None:
+                s_t = np.concatenate([best_s, s_t], axis=1)
+                i_t = np.concatenate([best_i, i_t], axis=1)
+            kk = min(k, s_t.shape[1])
+            # per-row top-k with the final window's tie-break
+            # (cosine desc, neighbor_id asc): lexsort, primary key last
+            order = np.lexsort((i_t, -s_t), axis=-1)[:, :kk]
+            best_s = np.take_along_axis(s_t, order, axis=1)
+            best_i = np.take_along_axis(i_t, order, axis=1)
+        if best_s is not None:
+            flat_s = best_s.ravel()
+            keep = np.isfinite(flat_s)
             yield pd.DataFrame({
-                "query_id": np.repeat(ids_b, n),
-                "neighbor_id": np.tile(nid, q),
-                "cosine": sims.T.ravel(),
+                "query_id": np.repeat(ids_b, best_s.shape[1])[keep],
+                "neighbor_id": best_i.ravel()[keep],
+                "cosine": flat_s[keep],
             })
 
-    scored = df.select(id_col, vec).mapInPandas(score, out_schema) \
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .filter(F.col("rank") <= k)
+    pruned = df.select(id_col, vec).mapInPandas(score, out_schema)
+    return _final_topk(pruned, k)
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +221,12 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
              vec: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
     """ANN: score only candidates sharing ≥1 LSH table bucket with the
-    query (equi-join on bucket — shuffle keyed by well-spread hash values;
-    AQE splits residual skew). Candidates deduped BEFORE the (expensive)
-    cosine, so multi-table overlap costs nothing downstream."""
+    query. Queries are broadcast, so the corpus never shuffles; a corpus
+    row's n_tables exploded copies stay in its partition, which makes
+    (query, candidate) duplicates partition-local — local_topk_prune
+    dedups them in the same Arrow pass that pre-prunes the top-k, so
+    there is NO dropDuplicates shuffle and the final window sees at most
+    k × |queries| × n_partitions rows."""
     c = with_lsh_buckets(df, vec, dim, n_planes, n_tables)
     q = with_lsh_buckets(query_df, vec, dim, n_planes, n_tables).select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("query_vec"),
@@ -157,17 +237,12 @@ def lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
                  F.explode("lsh_buckets").alias("bucket"))
         .join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .dropDuplicates(["query_id", id_col])
     )
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"),
         cosine_col(F.col(vec), F.col("query_vec")).alias("cosine"),
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .filter(F.col("rank") <= k)
+    return _final_topk(local_topk_prune(scored, k, dedup=True), k)
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +336,9 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
         "query_id", F.col(id_col).alias("neighbor_id"),
         cosine_col(F.col(vec), F.col("query_vec")).alias("cosine"),
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .filter(F.col("rank") <= k)
+    # each corpus row owns exactly one cell, so (query, candidate) pairs
+    # are unique — no dedup needed in the local prune
+    return _final_topk(local_topk_prune(scored, k), k)
 
 
 # ---------------------------------------------------------------------------
@@ -361,12 +434,14 @@ def pq_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
     and scoring per corpus row is n_sub table gathers + a sum — no
     full-vector read, so the scan touches ~32x fewer bytes than brute
     force. Output schema matches brute_force_topk
-    (query_id, neighbor_id, cosine≈, rank)."""
-    from pyspark.sql import Window
+    (query_id, neighbor_id, cosine≈, rank). The ADC pass keeps a running
+    per-query top-k across its partition's batches and emits only those
+    rows — the N×Q score matrix never leaves numpy, and the final window
+    input is corpus-size-free."""
     spark = df.sparkSession
     books = _pq_codebooks(df, vec, id_col, dim, n_sub, n_centroids)
     qrows = query_df.select(id_col, vec).collect()   # bounded query set
-    qids = [r[id_col] for r in qrows]
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([r[vec] for r in qrows], dtype=np.float64)
     qnrm = np.linalg.norm(qm, axis=1, keepdims=True)
     qnrm[qnrm == 0] = 1.0   # zero-norm guard, as in _pq_codebooks
@@ -375,35 +450,71 @@ def pq_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
     # tables[q, s, c] = <q_s, book_s_c>
     tables = np.stack([qm[:, s * sub:(s + 1) * sub] @ books[s].T
                        for s in range(n_sub)], axis=1)
-    bc = spark.sparkContext.broadcast((np.array(qids), tables))
+    bc = spark.sparkContext.broadcast((qids, tables))
 
     coded = pq_encode(df, books, vec, id_col)
+    out_schema = "query_id long, neighbor_id long, cosine double"
 
-    @pandas_udf("array<double>")
-    def adc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        ids, tabs = bc.value   # tabs: (n_q, n_sub, n_centroids)
+    def adc_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, tabs = bc.value   # tabs: (n_q, n_sub, n_centroids)
         n_q = tabs.shape[0]
-        for codes in batches:
-            cm = np.array(codes.tolist(), dtype=np.int64)   # (n, n_sub)
-            scores = np.zeros((len(cm), n_q), dtype=np.float64)
+        best_s = best_i = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf["pq_codes"].tolist(), dtype=np.int64)
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            s_t = np.zeros((n_q, len(cm)), dtype=np.float64)
             for s in range(tabs.shape[1]):
                 # gather each query's table at this subspace's codes
-                scores += tabs[:, s, :][:, cm[:, s]].T
-            yield pd.Series(list(scores))
+                s_t += tabs[:, s, :][:, cm[:, s]]
+            s_t[nid[None, :] == ids_b[:, None]] = -np.inf   # self-exclude
+            i_t = np.broadcast_to(nid, (n_q, len(nid)))
+            if best_s is not None:
+                s_t = np.concatenate([best_s, s_t], axis=1)
+                i_t = np.concatenate([best_i, i_t], axis=1)
+            kk = min(k, s_t.shape[1])
+            order = np.lexsort((i_t, -s_t), axis=-1)[:, :kk]
+            best_s = np.take_along_axis(s_t, order, axis=1)
+            best_i = np.take_along_axis(i_t, order, axis=1)
+        if best_s is not None:
+            flat_s = best_s.ravel()
+            keep = np.isfinite(flat_s)
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids_b, best_s.shape[1])[keep],
+                "neighbor_id": best_i.ravel()[keep],
+                "cosine": flat_s[keep],
+            })
 
-    scored = (
-        coded.withColumn("scores", adc(F.col("pq_codes")))
-        .select(F.col(id_col).alias("neighbor_id"),
-                F.posexplode("scores").alias("qi", "cosine"))
+    pruned = coded.select(id_col, "pq_codes").mapInPandas(
+        adc_topk, out_schema)
+    return _final_topk(pruned, k).select(
+        "query_id", "neighbor_id", "cosine", "rank")
+
+
+def pq_refine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
+                   m: int = 50, vec: str = "embedding",
+                   id_col: str = "vec_id", dim: int = 64, n_sub: int = 8,
+                   n_centroids: int = 256) -> DataFrame:
+    """ADC-shortlist-then-exact-rerank: pq_topk selects the m best
+    candidates per query from the compressed codes (one cheap scan of
+    8-byte codes), then only those m × |queries| rows are re-scored with
+    EXACT cosine against the raw vectors and cut to top-k. The standard
+    production ANN shape: when the shortlist contains the true top-k
+    (m ≫ k gives ADC plenty of slack), the output is IDENTICAL to exact
+    brute force while the full-precision scan touches only m × |queries|
+    vectors instead of the corpus."""
+    short = pq_topk(df, query_df, k=m, vec=vec, id_col=id_col, dim=dim,
+                    n_sub=n_sub, n_centroids=n_centroids) \
+        .select("query_id", "neighbor_id")
+    q = query_df.select(F.col(id_col).alias("query_id"),
+                        F.col(vec).alias("query_vec"))
+    cand = (
+        df.join(F.broadcast(short), F.col(id_col) == F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
     )
-    qmap = spark.createDataFrame(
-        [(i, int(q)) for i, q in enumerate(qids)], "qi INT, query_id BIGINT")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.join(F.broadcast(qmap), "qi")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine_col(F.col(vec), F.col("query_vec")).alias("cosine"))
+    # input already bounded at m × |queries| rows — no local prune needed
+    return _final_topk(scored, k)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .cachepool import CachePool
+from .cachepool import CachePool, maybe_persist
 
 _BASE = np.uint64(257)
 
@@ -85,24 +85,25 @@ def winnow_overlap_pairs(df: DataFrame, content: str, id_col: str,
                          min_shared: int = 2) -> DataFrame:
     """(id_a, id_b, shared_fps) for doc pairs sharing >= min_shared rare
     winnowed fingerprints — partial-overlap (copied-region) candidates.
-    Deterministic; id_a < id_b."""
+    Deterministic; id_a < id_b.
+
+    Cache lifecycle: for large inputs the exploded (id, fp) table is
+    persisted for this call (three consumers — the rare-fp census and
+    both pair-join sides — would otherwise each rerun the fingerprint
+    Arrow kernel); the NEXT call releases it, or call
+    clear_winnow_cache() to release it immediately after collecting the
+    result. Small inputs skip the materialization entirely
+    (cachepool.maybe_persist)."""
     # (id, fp) rows are distinct by construction — winnow_fingerprints_one
     # returns np.unique per doc — so no dedup shuffle is needed here.
-    # The exploded table feeds THREE consumers (the rare-fp census and
-    # both sides of the pair self-join); without materialization each
-    # clones the whole scan→Arrow-UDF subtree — a round-4 plan audit
-    # counted six ArrowEvalPython nodes, i.e. the fingerprint kernel
-    # (the expensive part at corpus scale) computed 3x. Persisting the
-    # compact (id, fp) pairs — two longs per selected k-gram,
-    # MEMORY_AND_DISK so it spills rather than OOMs — evaluates the UDF
-    # exactly once; the pool retains at most ONE call's cache (same
-    # lifecycle contract as simhash_dedup's reps cache).
-    from pyspark import StorageLevel
-    ex = (
+    # A round-4 plan audit counted six ArrowEvalPython nodes without
+    # the persist, i.e. the fingerprint kernel computed 3x; the persisted
+    # form is compact (two longs per selected k-gram, MEMORY_AND_DISK so
+    # it spills rather than OOMs).
+    ex = maybe_persist(
         with_winnowing(df, content, k, w)
-        .select(F.col(id_col), F.explode("winnow_fps").alias("fp"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _WINNOW_POOL.swap(ex)
+        .select(F.col(id_col), F.explode("winnow_fps").alias("fp")),
+        _WINNOW_POOL, gate_df=df)
     rare = ex.groupBy("fp").agg(
         F.count(F.lit(1)).alias("df_count")).filter(
         F.col("df_count") <= max_df).select("fp")

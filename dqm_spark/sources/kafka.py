@@ -29,12 +29,35 @@ from pyspark.sql import functions as F
 
 
 def kafka_available(spark: SparkSession) -> bool:
+    """True iff the Kafka source provider is resolvable in this session.
+
+    Two probes (r4 ADVICE): the classic-session JVM classpath check
+    first, then a public-surface fallback — attempting to ANALYZE (not
+    run) a `format("kafka")` read, which works under Spark Connect
+    where `_jvm` does not exist. The fallback distinguishes "provider
+    missing" (DataSource lookup fails → False) from "provider present
+    but options incomplete" (its own AnalysisException → True)."""
     try:
         spark._jvm.java.lang.Class.forName(
             "org.apache.spark.sql.kafka010.KafkaSourceProvider")
         return True
+    except AttributeError:
+        pass          # no _jvm (Spark Connect) — fall through
     except Exception:
-        return False
+        return False  # classpath probe ran and the class is absent
+    try:
+        # resolving the source triggers DataSource.lookupDataSource;
+        # a missing provider fails with "Failed to find data source"
+        # BEFORE option validation ever runs
+        spark.read.format("kafka").load()
+        return True
+    except Exception as e:  # noqa: BLE001 — message-dispatched below
+        msg = str(e)
+        if "Failed to find data source" in msg or \
+                "DATA_SOURCE_NOT_FOUND" in msg:
+            return False
+        # provider resolved; failure is its own option/validation error
+        return True
 
 
 def metric_records(df: DataFrame, key_cols: list[str]) -> DataFrame:

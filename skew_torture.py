@@ -1,0 +1,178 @@
+"""Skew torture proof (VERDICT r4 next-round #3): planted pathological
+skew through the heaviest dedup/concat stages, with MEASURED per-task
+bounds — converting the docstrings' "collapses map-side" claims into
+end-to-end task-time evidence.
+
+Planted inside a gen_spark corpus of SPARK_GRAFT_TORTURE_ROWS rows
+(default 8M):
+
+* a hot content key — every 8th row's content replaced by ONE identical
+  ~1.2 KB payload (10^6 byte-identical copies at 8M rows; the 10^7
+  LICENSE-file swarm scaled to the sandbox), hammering minhash's digest
+  collapse and substring's gram election;
+* a monorepo — every 10th row re-homed into a single repo (8×10^5
+  files in one group at 8M rows), hammering repo_context_concat's
+  grouped top-k.
+
+Three stages run as separate actions (minhash_dedup →
+dup_substring_stats → repo_context_concat) with the Spark event log
+on; per-stage task runtimes are parsed from SparkListenerTaskEnd and
+the straggler ratio max/median is computed per stage. The bound
+asserted: **no stage with a ≥5 s slowest task exceeds 5× its median**
+— a hot key that funneled into one task would show up as a
+minutes-long task at a ratio in the hundreds, while sub-5 s "ratios"
+over near-zero medians are scheduling noise on mostly-empty tasks and
+are reported but not flagged.
+
+Usage:  python skew_torture.py                 # 8M rows
+        SPARK_GRAFT_TORTURE_ROWS=200000 python skew_torture.py
+Prints one JSON line; exit code 1 if the straggler bound fails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROWS = int(os.environ.get("SPARK_GRAFT_TORTURE_ROWS", "8000000"))
+EVLOG = os.environ.get("SPARK_GRAFT_TORTURE_EVLOG",
+                       "/tmp/dqm_skew_eventlog")
+STRAGGLER_BOUND = 5.0
+MIN_STAGE_MS = 1000
+MIN_TASKS = 4
+# a straggler must be slow in absolute terms too: tiny stages (median
+# near 0 because most of 32 tasks got no data) produce huge ratios from
+# pure scheduling noise, max ~1 s — a real hot-key funnel at these
+# scales is a task of tens of seconds to minutes
+FLAG_MIN_MAX_MS = 5000
+
+HOT_MOD = 8        # 1/8 of rows share one byte-identical content
+MONO_MOD = 10      # 1/10 of rows live in one repo
+
+
+def stage_task_stats() -> list[dict]:
+    """Per-stage task-runtime stats from the event log: every stage with
+    >= MIN_TASKS tasks and a max task >= MIN_STAGE_MS."""
+    import statistics
+    stages: dict[int, list[float]] = {}
+    names: dict[int, str] = {}
+    paths = []
+    for root, _dirs, files in os.walk(EVLOG):
+        paths += [os.path.join(root, f) for f in files
+                  if not f.startswith("appstatus")]
+    for path in paths:
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerStageSubmitted"' in line:
+                    ev = json.loads(line)
+                    si = ev.get("Stage Info") or {}
+                    names[si.get("Stage ID", -1)] = si.get("Stage Name", "")
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                sid = ev.get("Stage ID", -1)
+                tm = ev.get("Task Metrics") or {}
+                run_ms = float(tm.get("Executor Run Time", 0))
+                stages.setdefault(sid, []).append(run_ms)
+    out = []
+    for sid, runs in sorted(stages.items()):
+        if len(runs) < MIN_TASKS or max(runs) < MIN_STAGE_MS:
+            continue
+        med = statistics.median(runs)
+        ratio = max(runs) / max(med, 1.0)
+        out.append({
+            "stage_id": sid,
+            "stage_name": names.get(sid, "")[:60],
+            "n_tasks": len(runs),
+            "median_ms": round(med, 1),
+            "max_ms": round(max(runs), 1),
+            "straggler_ratio": round(ratio, 2),
+            "flagged": bool(max(runs) >= FLAG_MIN_MAX_MS
+                            and ratio > STRAGGLER_BOUND),
+        })
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dqm_spark.operators.dedup import minhash_dedup
+    from dqm_spark.operators.seqprep import repo_context_concat
+    from dqm_spark.operators.substring import dup_substring_stats
+    from dqm_spark.session import get_spark
+    from dqm_spark.synth import gen_spark
+
+    shutil.rmtree(EVLOG, ignore_errors=True)
+    os.makedirs(EVLOG, exist_ok=True)
+    spark = get_spark("skew-torture", extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.dir": f"file://{EVLOG}",
+    })
+    cpus = int(spark.sparkContext.defaultParallelism)
+
+    inp = f"/tmp/dqm_bench_cache/torture_n{ROWS}"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        hot = " ".join(f"hot_token_{i % 97}" for i in range(160))
+        # monotonically_increasing_id = (partition << 33) + local_seq;
+        # local_seq is contiguous, so % k selects exactly 1/k of every
+        # partition — deterministic planting, no RNG
+        planted = (
+            gen_spark(spark, ROWS, partitions=max(cpus * 4, 64))
+            .withColumn("doc_id", F.monotonically_increasing_id())
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") % MONO_MOD == 0,
+                       F.lit("mono/giant-repo")).otherwise(
+                           F.col("repo")).alias("repo"),
+                "path", "commit", "lang",
+                F.when(F.col("doc_id") % HOT_MOD == 0,
+                       F.lit(hot)).otherwise(
+                           F.col("content")).alias("content"),
+            )
+        )
+        planted.write.mode("overwrite").parquet(inp)
+    src = spark.read.parquet(inp)
+
+    walls = {}
+    t0 = time.time()
+    n_dups = minhash_dedup(src, "content", "doc_id") \
+        .filter("is_duplicate").count()
+    walls["minhash_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_grams = dup_substring_stats(
+        src.select("doc_id", "content"), "content", "doc_id").count()
+    walls["substring_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_repos = repo_context_concat(
+        src, "content", "repo", "path").count()
+    walls["context_concat_sec"] = round(time.time() - t0, 2)
+
+    spark.stop()   # flush event log
+    stats = stage_task_stats()
+    heavy = [s for s in stats if s["max_ms"] >= FLAG_MIN_MAX_MS]
+    worst = max((s["straggler_ratio"] for s in heavy), default=0.0)
+    ok = not any(s["flagged"] for s in stats)
+    print(json.dumps({
+        "rows": ROWS, "cpus": cpus,
+        "hot_copies_expected": ROWS // HOT_MOD,
+        "monorepo_files_expected": ROWS // MONO_MOD,
+        "minhash_duplicates": int(n_dups),
+        "dup_gram_groups": int(n_grams),
+        "repos_out": int(n_repos),
+        "walls_sec": walls,
+        "worst_straggler_ratio": worst,
+        "straggler_bound": STRAGGLER_BOUND,
+        "straggler_ok": ok,
+        "stages": stats,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,30 @@ def test_plan_shuffles_only_hit_digests(spark):
         assert "__digest" in lines[i], lines[i]
         # map-side partial combine directly beneath the exchange
         assert "HashAggregate" in lines[i + 1], lines[i + 1]
+
+
+def test_tree_fold_partition_invariant(spark):
+    """The treeAggregate OR-fold must yield a bitmap byte-identical to
+    the single-partition build regardless of how many partial bitmaps
+    exist — many small partitions × a large m is exactly the layout
+    where a collect-based fold would pull O(m × P) to the driver."""
+    rows = [(f"doc-{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["content"])
+    # force a generous m (fpp 1e-4 -> ~57.5k bits) and 64 tiny partitions
+    one = build_bloom(df.coalesce(1), "content",
+                      expected_items=3000, fpp=1e-4)
+    many = build_bloom(df.repartition(64), "content",
+                       expected_items=3000, fpp=1e-4)
+    assert one[1:] == many[1:]          # same (m, k)
+    assert one[0] == many[0]            # byte-identical bitmap
+    # and a partitioning with empty partitions (None partials in the
+    # tree) still folds correctly
+    sparse = build_bloom(df.repartition(256), "content",
+                         expected_items=3000, fpp=1e-4)
+    assert sparse[0] == one[0]
+
+
+def test_build_bloom_empty_corpus_zero_bitmap(spark):
+    df = spark.createDataFrame([], "content string")
+    bitmap, m, k = build_bloom(df, "content", expected_items=1)
+    assert not any(bitmap)

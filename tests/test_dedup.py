@@ -473,3 +473,18 @@ def test_cluster_elect_best_quality_kept(spark):
     # exactly one keeper per component
     keepers = out.groupby("component")["keep"].sum()
     assert (keepers == 1).all()
+
+
+def test_maybe_persist_gates_on_input_size(spark):
+    """Small inputs must skip the shared-subtree materialization (the
+    recompute is cheaper); min_bytes=0 forces the scale path; clearing
+    the pool releases the cache entry."""
+    from dqm_spark.operators.cachepool import CachePool, maybe_persist
+    pool = CachePool()
+    df = spark.range(100)
+    small = maybe_persist(df.selectExpr("id"), pool, gate_df=df)
+    assert not small.storageLevel.useMemory
+    big = maybe_persist(df.selectExpr("id"), pool, gate_df=df, min_bytes=0)
+    assert big.storageLevel.useMemory or big.storageLevel.useDisk
+    pool.clear()
+    assert not (big.storageLevel.useMemory or big.storageLevel.useDisk)

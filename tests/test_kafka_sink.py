@@ -67,3 +67,36 @@ def test_records_null_key_cols(spark):
     rec = metric_records(df, ["run_id", "lang", "rule"]).collect()[0]
     assert rec["key"] == "r1/rule_a"
     assert json.loads(rec["value"])["rule"] == "rule_a"
+
+
+def test_kafka_available_connect_fallback():
+    """Under Spark Connect there is no _jvm; the probe must fall back to
+    the public read-resolution surface and dispatch on WHY it failed:
+    provider-missing -> False, provider-present-but-options-invalid ->
+    True (r4 ADVICE — the old probe swallowed everything into False)."""
+    from dqm_spark.sources.kafka import kafka_available
+
+    class _Reader:
+        def __init__(self, msg):
+            self._msg = msg
+
+        def format(self, _f):
+            return self
+
+        def load(self):
+            raise Exception(self._msg)
+
+    class _ConnectSession:
+        def __init__(self, msg):
+            self.read = _Reader(msg)
+
+        @property
+        def _jvm(self):
+            raise AttributeError("_jvm is not supported in Spark Connect")
+
+    missing = _ConnectSession(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find data source: kafka.")
+    assert kafka_available(missing) is False
+    present = _ConnectSession(
+        "Option 'kafka.bootstrap.servers' must be specified")
+    assert kafka_available(present) is True

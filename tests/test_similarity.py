@@ -109,6 +109,62 @@ def test_pq_codes_shape(emb):
     assert len(codes) == 8 and all(0 <= c < 256 for c in codes)
 
 
+def test_local_prune_bounds_window_input(emb, queries, exact):
+    """The pre-window prune must emit at most k × |queries| rows per
+    partition regardless of corpus size, and pruning must not change the
+    final result (tie-breaks match the global window's)."""
+    from pyspark.sql import functions as F
+    from dqm_spark.operators.similarity import cosine_col, local_topk_prune
+
+    many = emb.repartition(8)
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec"))
+    scored = (
+        many.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine_col(F.col("embedding"),
+                           F.col("query_vec")).alias("cosine"))
+    )
+    pruned = local_topk_prune(scored, K)
+    n = pruned.count()
+    assert n <= K * 5 * 8          # k × queries × partitions
+    assert n < scored.count()      # actually pruned something
+    # pruned + final window reproduces the exact result
+    out = brute_force_topk(many, queries, k=K).toPandas()
+    a = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+
+
+def test_topk_plans_prune_before_window(emb, queries):
+    """Every *_topk physical plan must feed its row_number window from a
+    bounded Arrow prune (MapInPandas below the Window), never from the
+    corpus-sized scored set — the 10^9-vector single-task guard."""
+    from dqm_spark.operators.similarity import (brute_force_topk_pandas,
+                                                pq_topk)
+    from dqm_spark.plans import plan_string
+
+    for fn in (brute_force_topk, brute_force_topk_pandas, lsh_topk,
+               ivf_topk, pq_topk):
+        s = plan_string(fn(emb, queries, k=K))
+        assert "MapInPandas" in s, fn.__name__
+        # tree prints parents first: the Window must sit ABOVE the prune
+        assert s.index("Window") < s.index("MapInPandas"), fn.__name__
+
+
+def test_pq_refine_matches_exact(emb, queries, exact):
+    """ADC shortlist (m=50) + exact rerank must reproduce exact brute
+    force identically at this scale (shortlist recall 1.0 with slack)."""
+    from dqm_spark.operators.similarity import pq_refine_topk
+    out = pq_refine_topk(emb, queries, k=5, m=50).toPandas()
+    ex5 = exact[exact["rank"] <= 5]
+    a = ex5.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert (abs(a["cosine"].to_numpy() - b["cosine"].to_numpy())
+            < 1e-9).all()
+
+
 def test_pq_small_corpus_fewer_rows_than_centroids(emb, queries):
     from dqm_spark.operators.similarity import pq_topk
 

@@ -1,0 +1,39 @@
+"""Planted-skew straggler bound (skew_torture.py), small-scale gate.
+
+The full 8M-row torture run is recorded in BASELINE.md; this test runs
+the same script at 100k rows (25k-copy hot content key + one repo
+owning 10% of all files) and asserts the measured per-task bound: no
+stage with a >= 5 s slowest task exceeds 5x its median task time —
+the end-to-end proof that the dedup/concat stages really collapse hot
+keys map-side instead of funneling them into one task."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_skew_torture_straggler_bound(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_TORTURE_ROWS="100000",
+        SPARK_GRAFT_TORTURE_EVLOG=str(tmp_path / "evlog"),
+    )
+    proc = subprocess.run(
+        [sys.executable, "skew_torture.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["straggler_ok"], result["stages"]
+    assert proc.returncode == 0
+    # the plants actually landed: the hot key makes >= 25% of rows
+    # duplicates, and the monorepo plus organic repos all came out
+    assert result["minhash_duplicates"] >= result["rows"] // 4
+    assert result["repos_out"] >= 1
+    # the heavy stages did real distributed work (the bound wasn't
+    # vacuously satisfied by skipping everything)
+    heavy = [s for s in result["stages"] if s["max_ms"] >= 5000]
+    assert heavy, "no stage reached the 5s flag threshold - scale too small"

@@ -64,9 +64,51 @@ def test_multimodal_features(spark):
 
 def test_decode_gates_compressed_codecs():
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG...", "png")
+        decode_stub(b"\x00\x00\x00\x18ftypmp42", "mp4")
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\xff\xd8\xff\xe0", "jpeg")
     arr = decode_stub(bytes(range(10)), "fake/raw")
     assert isinstance(arr, np.ndarray) and arr.tolist() == list(range(10))
+
+
+def test_png_round_trip_bit_exact_all_filters():
+    """Every RFC 2083 row filter (None/Sub/Up/Average/Paeth), every
+    supported channel count, must round-trip bit-exactly through the
+    stdlib encoder/decoder pair."""
+    from dqm_spark.operators.multimodal import _decode_png, encode_png
+    rng = np.random.Generator(np.random.Philox(key=11))
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (7, 5, c), dtype=np.uint8)
+        for ft in range(5):
+            back, w, h, ch = _decode_png(encode_png(px, filter_type=ft))
+            assert (w, h, ch) == (5, 7, c), (c, ft)
+            assert np.array_equal(back, px), (c, ft)
+    # grayscale 2-D input and the decode() dispatch path
+    from dqm_spark.operators.multimodal import decode
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    assert np.array_equal(
+        decode(encode_png(g, filter_type=4), "png"), g.ravel())
+
+
+def test_png_rejects_corrupt_and_out_of_profile():
+    from dqm_spark.operators.multimodal import _decode_png, encode_png
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="signature"):
+        _decode_png(b"NOTPNG" + bytes(good))
+    corrupt = bytearray(good)
+    corrupt[-20] ^= 0xFF          # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(corrupt))
+    # 16-bit depth is out of profile -> ValueError, not a wrong decode
+    deep = bytearray(good)
+    assert deep[24] == 8          # IHDR bit-depth byte
+    deep[24] = 16
+    import zlib
+    ihdr = bytes(deep[12:16]) + bytes(deep[16:29])
+    deep[29:33] = (zlib.crc32(ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="profile"):
+        _decode_png(bytes(deep))
 
 
 def test_ppm_round_trip_bit_exact():
