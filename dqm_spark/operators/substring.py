@@ -24,6 +24,10 @@ path.
 
 Scale shape (100 TB corpus, ~10^13 word positions):
 
+* byte-identical contents collapse to ONE representative row (weighted
+  by copy count) BEFORE any gram work — a 10^7-copy LICENSE swarm
+  contributes ~200 gram rows, not 2×10^9; flags fan back to the
+  copies by digest at the end (round 5; see _dup_flagged).
 * one corpus-wide shuffle of (gram-key, doc, pos) tuples is INHERENT to
   exact substring dedup — every occurrence must meet its twins once.
   That shuffle carries 8-BYTE ROLLING HASHES, never gram strings: each
@@ -105,60 +109,103 @@ def _dup_flagged(df: DataFrame, content: str, id_col: str, k: int,
     lexicographic min (id, pos) — count and min(struct) both partial-
     aggregate map-side, so hot grams never concentrate on one task.
 
+    Byte-identical contents are collapsed FIRST (round 5): all gram
+    work runs on one representative row per DISTINCT content, with the
+    copy count as an occurrence WEIGHT (sum(__w) replaces count(*)),
+    and flags fan back to the original rows by digest at the end. A
+    10^7-copy boilerplate swarm therefore contributes its gram profile
+    once instead of 10^7 times — the same digest-collapse the LSH
+    dedups use (dedup._collapse_reps). Semantics are unchanged:
+    weighted counts equal original occurrence counts, and the global
+    keeper min(struct(id, pos)) is reachable from rep rows because
+    each digest group's min id IS its rep id.
+
     Default path is the exact two-phase: duplicated 64-bit rolling keys
     nominate candidate positions, then the true gram strings (rebuilt
-    only for candidate docs) are recounted so collisions cannot flag a
-    unique span — __key is the actual gram. With ``hash_keys=True`` the
-    verify recount is skipped and __key is the 64-bit key itself."""
-    occ = _int_occurrences(df, content, id_col, k)
+    only for candidate rep docs) are recounted so collisions cannot
+    flag a unique span — __key is the actual gram. With
+    ``hash_keys=True`` the verify recount is skipped and __key is the
+    64-bit key itself (the 100 TB fast path)."""
+    from .dedup import _content_digest
+
+    # one row per distinct content: (digest, rep id, copy count,
+    # content). Identical copies collapse map-side in the partial agg,
+    # so the shuffle carries each distinct content at most once per
+    # input partition; min(content) over byte-identical values is the
+    # value itself.
+    reps = (
+        df.select(_content_digest(content).alias("__digest"),
+                  F.col(id_col), F.col(content).alias("__content"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("__rid"),
+             F.count(F.lit(1)).alias("__w"),
+             F.min("__content").alias("__content"))
+    )
+    copies = df.select(F.col(id_col),
+                       _content_digest(content).alias("__digest"))
+
+    occ = reps.select(
+        "__digest", "__rid", "__w",
+        F.posexplode(rolling_ngram_keys(F.col("__content"), k))
+        .alias("pos", "h"))
+    keeper_agg = F.min(F.struct(F.col("__rid").alias("kid"),
+                                F.col("pos").alias("kpos"))).alias("keeper")
+
+    def _fan_back(flagged_reps: DataFrame) -> DataFrame:
+        # (digest, pos, __key, keeper) × (digest → id): every copy of a
+        # flagged content gets the flag; the one keeper doc is excluded
+        # later by the (id, pos) == keeper comparison. AQE skew-split
+        # covers a hot digest on the copies side.
+        return flagged_reps.join(copies, "__digest").select(
+            F.col(id_col), "pos", "__key", "keeper")
+
     if hash_keys:
         dup = (
             occ.groupBy("h")
-            .agg(F.count("*").alias("__c"),
-                 F.min(F.struct(F.col(id_col).alias("kid"),
-                                F.col("pos").alias("kpos"))).alias("keeper"))
+            .agg(F.sum("__w").alias("__c"), keeper_agg)
             .filter(F.col("__c") >= 2)
             .drop("__c")
         )
-        return (occ.join(dup, "h")
-                .select(F.col(id_col), "pos", F.col("h").alias("__key"),
-                        "keeper"))
+        return _fan_back(
+            occ.join(dup, "h")
+            .select("__digest", "pos", F.col("h").alias("__key"), "keeper"))
 
     # exact path: occ feeds the duplicated-key aggregate AND the
-    # candidate semi-join — persist so the scan + rolling-hash subtree
-    # runs once (ints only: ~20 B/position)
+    # candidate semi-join — persist so the collapse + rolling-hash
+    # subtree runs once (ints only: ~28 B/position over DISTINCT
+    # contents)
     occ = occ.persist()
     _POOL.swap(occ)
-    dup_h = (occ.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    dup_h = (occ.groupBy("h").agg(F.sum("__w").alias("__c"))
              .filter(F.col("__c") >= 2).select("h"))
     cand = occ.join(dup_h, "h", "semi")
-    # rebuild true grams doc-locally, ONLY for candidate positions:
-    # one split per candidate doc, one slice+join per candidate position
-    byn = cand.groupBy(id_col).agg(F.collect_list("pos").alias("__ps"))
+    # rebuild true grams doc-locally, ONLY for candidate positions of
+    # candidate REP docs: one split per rep, one slice+join per position
+    byn = cand.groupBy("__digest").agg(
+        F.collect_list("pos").alias("__ps"))
     grams = (
-        df.join(byn, id_col)
-        .withColumn("__w", word_array(F.col(content)))
-        .select(F.col(id_col),
+        reps.join(byn, "__digest")
+        .withColumn("__wa", word_array(F.col("__content")))
+        .select("__digest", "__rid", "__w",
                 F.explode(F.transform(
                     "__ps",
                     lambda p: F.struct(
                         p.alias("pos"),
-                        F.array_join(F.slice("__w", p + 1, k), " ")
+                        F.array_join(F.slice("__wa", p + 1, k), " ")
                         .alias("gram")))).alias("pg"))
-        .select(F.col(id_col), F.col("pg.pos").alias("pos"),
+        .select("__digest", "__rid", "__w",
+                F.col("pg.pos").alias("pos"),
                 F.col("pg.gram").alias("gram"))
     )
     dup_g = (
         grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__c"),
-             F.min(F.struct(F.col(id_col).alias("kid"),
-                            F.col("pos").alias("kpos"))).alias("keeper"))
+        .agg(F.sum("__w").alias("__c"), keeper_agg)
         .filter(F.col("__c") >= 2)
         .drop("__c")
     )
-    return (grams.join(dup_g, "gram")
-            .select(F.col(id_col), "pos", F.col("gram").alias("__key"),
-                    "keeper"))
+    return _fan_back(
+        grams.join(dup_g, "gram")
+        .select("__digest", "pos", F.col("gram").alias("__key"), "keeper"))
 
 
 def dup_substring_stats(df: DataFrame, content: str = "text",

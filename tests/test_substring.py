@@ -102,16 +102,43 @@ def test_no_python_eval_in_plans(docs):
     Window nodes are the scrub's doc-partitioned island pass.
 
     The exact two-phase path counts MORE pre-AQE exchanges than the old
-    single-phase gram-string design (11/12 vs 5/6) but each carries
-    8-byte keys or candidate-only rows instead of two corpus-wide
-    gram-STRING shuffles — shuffle bytes, not exchange count, is the
-    scale cost; AQE collapses the small sides to broadcasts at runtime."""
+    single-phase gram-string design, and the round-5 digest pre-collapse
+    (identical contents do gram work once, weighted) adds the collapse
+    agg + digest fan-back on top (18 vs 11/12 vs the original 5/6) —
+    but each added exchange carries digests/8-byte keys or
+    candidate-only rows instead of corpus-wide gram-STRING shuffles;
+    shuffle bytes, not exchange count, is the scale cost, and AQE
+    collapses the small sides to broadcasts at runtime."""
     for df, max_ex, max_win in (
-            (dup_substring_stats(docs, k=3), 11, 0),
-            (dup_substring_scrub(docs, k=3), 12, 2)):
+            (dup_substring_stats(docs, k=3), 18, 0),
+            (dup_substring_scrub(docs, k=3), 19, 2)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange") <= max_ex, plan
         assert plan.count("Window") <= max_win, plan
+
+
+def test_identical_copy_swarm_weighted_counts(spark):
+    """The digest pre-collapse must preserve occurrence-count semantics:
+    a gram occurring ONCE per copy of a duplicated content still counts
+    once per COPY (weighted), so two identical docs make every gram
+    duplicated; the keeper is the min-id copy and survives exactly
+    once; a unique singleton doc stays untouched."""
+    from dqm_spark.operators.substring import (dup_substring_scrub,
+                                               dup_substring_stats)
+    body = "alpha beta gamma delta epsilon zeta"
+    rows = [(10, body), (7, body), (99, "unique words only here today")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {r["doc_id"]: r for r in
+             dup_substring_stats(docs, k=3).collect()}
+    # both copies fully flagged (4 positions of k=3 over 6 words),
+    # the unique doc absent from the stats
+    assert set(stats) == {7, 10}
+    assert stats[7]["n_dup_positions"] == stats[10]["n_dup_positions"] == 4
+    scrub = {r["doc_id"]: r["clean_text"] for r in
+             dup_substring_scrub(docs, k=3).collect()}
+    assert scrub[7] == body          # keeper copy survives intact
+    assert scrub[10] == ""           # the other copy fully scrubbed
+    assert scrub[99] == "unique words only here today"
