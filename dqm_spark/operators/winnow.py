@@ -100,10 +100,15 @@ def winnow_overlap_pairs(df: DataFrame, content: str, id_col: str,
     # the persist, i.e. the fingerprint kernel computed 3x; the persisted
     # form is compact (two longs per selected k-gram, MEMORY_AND_DISK so
     # it spills rather than OOMs).
+    # min_bytes=0: ALWAYS persist (unlike the minhash/embedding gates).
+    # The winnowing kernel is a per-byte rolling-hash Arrow UDF — far
+    # costlier per input byte than a signature hash — and it has THREE
+    # consumers; measured at sf0.1, skipping the persist made the op
+    # 1.27x slower. The pool still bounds the cache to one call.
     ex = maybe_persist(
         with_winnowing(df, content, k, w)
         .select(F.col(id_col), F.explode("winnow_fps").alias("fp")),
-        _WINNOW_POOL, gate_df=df)
+        _WINNOW_POOL, gate_df=df, min_bytes=0)
     rare = ex.groupBy("fp").agg(
         F.count(F.lit(1)).alias("df_count")).filter(
         F.col("df_count") <= max_df).select("fp")
