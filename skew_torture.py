@@ -39,6 +39,12 @@ import sys
 import time
 
 ROWS = int(os.environ.get("SPARK_GRAFT_TORTURE_ROWS", "8000000"))
+# 1 = run dup_substring_stats' exact two-phase path (gram-string verify
+# rebuild) instead of the hash_keys fast path; at 8M rows on THIS
+# synthetic corpus (~96% duplicated positions) the exact path's string
+# shuffle exceeds the sandbox's single shared disk, so the default
+# tortures the fast path at 8M and the exact path is evidenced at 2M
+EXACT = os.environ.get("SPARK_GRAFT_TORTURE_EXACT", "0") == "1"
 EVLOG = os.environ.get("SPARK_GRAFT_TORTURE_EVLOG",
                        "/tmp/dqm_skew_eventlog")
 STRAGGLER_BOUND = 5.0
@@ -153,7 +159,7 @@ def main() -> None:
     # shared disk holds (a real cluster spreads it over executor disks)
     n_grams = dup_substring_stats(
         src.select("doc_id", "content"), "content", "doc_id",
-        hash_keys=True).count()
+        hash_keys=not EXACT).count()
     walls["substring_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -173,6 +179,7 @@ def main() -> None:
         "minhash_duplicates": int(n_dups),
         "dup_gram_groups": int(n_grams),
         "repos_out": int(n_repos),
+        "substring_path": "exact" if EXACT else "hash_keys",
         "walls_sec": walls,
         "worst_straggler_ratio": worst,
         "straggler_bound": STRAGGLER_BOUND,
