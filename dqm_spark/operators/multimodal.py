@@ -5,13 +5,17 @@ Design for image/audio/video columns in a training-data table:
 schema, Arrow batch shape, mapInPandas decode stage, partition sizing —
 is real and tested, and so are the codecs that need no external
 library: **PPM/PGM (netpbm P6/P5) images and RIFF/WAV PCM audio are
-pure byte-layout parses** (`_decode_ppm`, `_decode_wav`), and **PNG
+pure byte-layout parses** (`_decode_ppm`, `_decode_wav`), **PNG
 decodes with stdlib zlib + numpy unfiltering** (`_decode_png` — all
-five RFC 2083 row filters, CRC-verified chunks), each with a
-round-trip encoder so tests prove bit-exactness. jpeg/mp4 genuinely
-need external codec libraries this container does not ship; those
-formats raise NotImplementedError at the same dispatch point where
-production would plug Pillow/av.
+five RFC 2083 row filters, CRC-verified chunks), and **baseline JPEG
+encodes AND decodes for real** (jpegcodec.py — vectorized DCT,
+per-image optimal canonical Huffman, 4:2:0-capable decode), each with
+a round-trip partner so tests prove exactness where the format is
+lossless and pin error bounds where it is not. Only mp4 remains
+gated: video bitstream decode (h264 et al.) genuinely needs external
+codec libraries this container does not ship; that format raises
+NotImplementedError at the same dispatch point where production would
+plug av/ffmpeg.
 
 The feature extractor (byte histogram + moments) is the stand-in for a
 real embedding model and is fully vectorized; `resize_images` (exact
@@ -325,16 +329,20 @@ def decode(payload: bytes, fmt: str) -> np.ndarray:
     """Decode a payload to a flat uint8 sample array (the byte-feature
     view — image pixels, or audio int16 reinterpreted as bytes).
 
-    ppm/pgm/wav/fake-raw are decoded for real (numpy byte parsing), and
-    png too (stdlib zlib inflate + numpy unfiltering — _decode_png);
-    jpeg/mp4 genuinely need external codec libraries this container
-    does not ship — plug Pillow/av here in production."""
+    ppm/pgm/wav/fake-raw are decoded for real (numpy byte parsing),
+    png too (stdlib zlib inflate + numpy unfiltering — _decode_png),
+    and jpeg via the pure-numpy baseline codec (jpegcodec.decode_jpeg);
+    mp4 video genuinely needs external codec libraries this container
+    does not ship — plug av/ffmpeg here in production."""
     if fmt == "fake/raw":
         return np.frombuffer(payload, dtype=np.uint8)
     if fmt in ("ppm", "pgm"):
         return _decode_ppm(payload)[0].ravel()
     if fmt == "png":
         return _decode_png(payload)[0].ravel()
+    if fmt == "jpeg":
+        from dqm_spark.operators.jpegcodec import decode_jpeg
+        return decode_jpeg(payload)[0].ravel()
     if fmt == "wav":
         return _decode_wav(payload)[0].view(np.uint8).ravel()
     raise NotImplementedError(
@@ -386,20 +394,24 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize of every ppm/pgm row to (out_w, out_h),
-    re-emitted as netpbm payloads. Deterministic integer grid
-    (floor(i * src / dst) — the classic exact NN index map), one
-    mapInPandas pass, rows with other formats are dropped (select the
-    image subset upstream)."""
+    """Nearest-neighbor resize of every ppm/pgm/jpeg row to
+    (out_w, out_h), re-emitted as netpbm payloads. Deterministic
+    integer grid (floor(i * src / dst) — the classic exact NN index
+    map), one mapInPandas pass, rows with other formats are dropped
+    (select the image subset upstream)."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dqm_spark.operators.jpegcodec import decode_jpeg
         for pdf in batches:
             out = []
             for mid, fmt, payload in zip(
                     pdf["media_id"], pdf["format"], pdf["payload"]):
-                if fmt not in ("ppm", "pgm"):
+                if fmt in ("ppm", "pgm"):
+                    px, w, h, c = _decode_ppm(payload)
+                elif fmt == "jpeg":
+                    px, w, h, c = decode_jpeg(bytes(payload))
+                else:
                     continue
-                px, w, h, c = _decode_ppm(payload)
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 small = px[yi][:, xi]
@@ -459,18 +471,23 @@ def sample_audio_windows(df: DataFrame, n_windows: int = 4,
 
 
 def gen_fake_media(spark, n: int, partitions: int = 4) -> DataFrame:
-    """Deterministic media table (seeded per id): REAL ppm/pgm/wav
+    """Deterministic media table (seeded per id): REAL ppm/pgm/wav/jpeg
     payloads cycled by id so the true codec paths are exercised, plus
     the fake/raw stratum for the byte-plumbing tests."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dqm_spark.operators.jpegcodec import encode_jpeg
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.Generator(np.random.Philox(key=i))
-                which = i % 4
-                if which == 0:       # RGB image
+                which = i % 5
+                if which == 4:       # baseline JPEG (lossy codec path)
+                    w, h = 8 + i % 9, 6 + i % 7
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    rows.append((i, "image", "jpeg", encode_jpeg(px, 85)))
+                elif which == 0:     # RGB image
                     w, h = 8 + i % 9, 6 + i % 7
                     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                     rows.append((i, "image", "ppm", encode_ppm(px)))

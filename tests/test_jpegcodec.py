@@ -1,0 +1,204 @@
+"""Baseline JPEG codec tests (dqm_spark/operators/jpegcodec.py).
+
+Because there is no external JPEG library in this container to compare
+against, the suite is built so the encoder and decoder cannot share a
+mirrored bug: bit-level primitives are pinned against the T.81 spec
+directly (zigzag prefix, table F.1 magnitude coding, canonical code
+assignment), the decoder is exercised on HAND-BUILT bitstreams our
+encoder never produces (4:2:0 subsampling, restart markers, fixed
+non-optimal tables), and round-trip error is bounded where the format
+is lossy and exact where quantization is lossless (constant blocks)."""
+
+import numpy as np
+import pytest
+
+from dqm_spark.operators.jpegcodec import (
+    _ZIGZAG, _BitWriter, _canonical_codes, _extend, _magnitude,
+    _optimal_huffman, decode_jpeg, encode_jpeg,
+)
+
+
+def test_zigzag_matches_spec_prefix():
+    # T.81 figure 5, first 16 entries, plus the closing corner
+    assert list(_ZIGZAG[:16]) == [0, 1, 8, 16, 9, 2, 3, 10,
+                                  17, 24, 32, 25, 18, 11, 4, 5]
+    assert _ZIGZAG[63] == 63 and sorted(_ZIGZAG.tolist()) == list(range(64))
+
+
+def test_magnitude_coding_table_f1():
+    # T.81 table F.1: category + low-order bits, spot values both signs
+    for v, s in [(0, 0), (1, 1), (-1, 1), (3, 2), (-3, 2), (7, 3),
+                 (-8, 4), (255, 8), (-255, 8), (1023, 10)]:
+        cat, raw = _magnitude(v)
+        assert cat == s, v
+        assert _extend(raw, cat) == v, v
+
+
+def test_optimal_huffman_tables_are_valid_and_prefix_free():
+    rng = np.random.default_rng(3)
+    freq = np.zeros(256, dtype=np.int64)
+    freq[rng.integers(0, 256, 40)] = rng.integers(1, 10_000, 40)
+    bits, vals = _optimal_huffman(freq)
+    assert sum(bits) == len(vals) == len(set(vals))
+    assert len(bits) == 16
+    codes = _canonical_codes(bits, vals)
+    # prefix-free: no code is a prefix of another
+    as_str = sorted(f"{c:0{ln}b}" for c, ln in codes.values())
+    for a, b in zip(as_str, as_str[1:]):
+        assert not b.startswith(a)
+    # every symbol with nonzero frequency got a code
+    assert set(np.nonzero(freq)[0]) <= set(codes)
+    # the all-ones code of the longest length is reserved (dummy rule)
+    maxlen = max(ln for _, ln in codes.values())
+    assert all(not (ln == maxlen and c == (1 << ln) - 1)
+               for c, ln in codes.values())
+
+
+def test_constant_blocks_round_trip_exact():
+    # constant image -> DC-only blocks; 200-128=72 -> DC 576, luma
+    # q[0,0]=16 at quality 50 divides it exactly -> bit-exact decode
+    for shape in [(8, 8), (24, 17), (5, 3), (16, 40)]:
+        g = np.full(shape, 200, dtype=np.uint8)
+        px, w, h, c = decode_jpeg(encode_jpeg(g, quality=50))
+        assert (w, h, c) == (shape[1], shape[0], 1)
+        assert np.array_equal(px[:, :, 0], g)
+    rgb = np.full((12, 20, 3), 128, dtype=np.uint8)
+    px, w, h, c = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert c == 3 and np.abs(px.astype(int) - 128).max() <= 1
+
+
+def test_smooth_gradient_error_bounded():
+    rgb = np.stack([
+        np.linspace(0, 255, 48)[None, :].repeat(64, 0),
+        np.linspace(255, 0, 64)[:, None].repeat(48, 1),
+        np.full((64, 48), 128.0),
+    ], axis=-1).astype(np.uint8)
+    px, w, h, c = decode_jpeg(encode_jpeg(rgb, quality=95))
+    err = np.abs(px.astype(int) - rgb.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_encode_deterministic_and_stuffing_round_trips():
+    rng = np.random.default_rng(0)           # seed 0 produces FF bytes
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    p1 = encode_jpeg(img, quality=90)
+    assert p1 == encode_jpeg(img, quality=90)
+    assert b"\xff\x00" in p1                 # stuffed entropy bytes
+    px, w, h, c = decode_jpeg(p1)
+    assert (w, h, c) == (24, 24, 3)
+    # noise is JPEG's worst case; just bound the damage loosely
+    assert np.abs(px.astype(int) - img.astype(int)).mean() < 24
+
+
+def test_quality_knob_trades_size_for_error():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 64, (32, 32, 3), dtype=np.uint8)
+    img = (base.astype(int) * 3 + 32).astype(np.uint8)
+    lo, hi = encode_jpeg(img, quality=30), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    err_lo = np.abs(decode_jpeg(lo)[0].astype(int) - img).mean()
+    err_hi = np.abs(decode_jpeg(hi)[0].astype(int) - img).mean()
+    assert err_hi < err_lo
+
+
+def _fixed_dht(cls, tid, bits, vals):
+    body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xFF\xC4" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _build_420_gray_jpeg(n_mcux=1, restart_interval=0):
+    """Hand-built 4:2:0 bitstream our encoder never emits: constant
+    Y=200/Cb=Cr=128 image, fixed (non-optimal) Huffman tables, 2x2 Y
+    sampling, optional DRI+RSTn. One MCU is 16x16 pixels."""
+    w, h = 16 * n_mcux, 16
+    out = bytearray(b"\xFF\xD8")
+    qt = bytes([0]) + bytes([16] * 64)                     # table 0: all 16s
+    out += b"\xFF\xDB" + (2 + len(qt)).to_bytes(2, "big") + qt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+        bytes([3]) + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + \
+        bytes([3, 0x11, 0])
+    out += b"\xFF\xC0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    # DC: symbols {0: '0', 6: '10'}; AC: {EOB: '0'}
+    out += _fixed_dht(0, 0, [1, 1] + [0] * 14, [0, 6])
+    out += _fixed_dht(1, 0, [1] + [0] * 15, [0x00])
+    if restart_interval:
+        out += b"\xFF\xDD\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    def mcu_bits(bw, first):
+        # Y1: DC diff 36 (cat 6, raw 100100) if first else 0, then EOB
+        if first:
+            bw.write(0b10, 2)          # DC symbol 6
+            bw.write(36, 6)            # magnitude bits of +36
+        else:
+            bw.write(0b0, 1)           # DC symbol 0
+        bw.write(0b0, 1)               # EOB
+        for _ in range(3):             # Y2..Y4: diff 0 + EOB
+            bw.write(0b0, 1)
+            bw.write(0b0, 1)
+        for _ in range(2):             # Cb, Cr: diff 0 + EOB
+            bw.write(0b0, 1)
+            bw.write(0b0, 1)
+
+    for m in range(n_mcux):
+        bw = _BitWriter()
+        # with restarts every MCU resets DC prediction -> always "first"
+        mcu_bits(bw, first=(m == 0 or restart_interval == 1))
+        bw.flush()
+        out += bw.buf
+        if restart_interval and m < n_mcux - 1:
+            out += bytes([0xFF, 0xD0 + (m % 8)])
+    out += b"\xFF\xD9"
+    return bytes(out), w, h
+
+
+def test_decode_handles_420_subsampling_from_foreign_stream():
+    payload, w, h = _build_420_gray_jpeg()
+    px, dw, dh, c = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3)
+    # Y=200, Cb=Cr=128 -> neutral gray 200 exactly (DC survives quant)
+    assert np.array_equal(px, np.full((h, w, 3), 200, dtype=np.uint8))
+
+
+def test_decode_handles_restart_markers():
+    payload, w, h = _build_420_gray_jpeg(n_mcux=3, restart_interval=1)
+    px, dw, dh, c = decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(px, np.full((h, w, 3), 200, dtype=np.uint8))
+
+
+def test_out_of_profile_and_corrupt_rejected():
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    good = bytearray(encode_jpeg(g, quality=75))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"NOPE" + bytes(good))
+    # flip SOF0 -> SOF2 (progressive) and keep everything else
+    i = bytes(good).find(b"\xFF\xC0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="profile"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="truncated|marker|huffman|SOS"):
+        decode_jpeg(bytes(good[:len(good) // 2]))
+
+
+def test_jpeg_through_decode_dispatch_and_spark_features(spark):
+    import pandas as pd
+    from dqm_spark.operators.multimodal import (
+        decode, extract_features, gen_fake_media, resize_images)
+    g = np.full((10, 12), 200, dtype=np.uint8)
+    flat = decode(encode_jpeg(g, 50), "jpeg")
+    assert flat.tolist() == [200] * (10 * 12)
+    # gen_fake_media's jpeg stratum flows through the feature extractor
+    media = gen_fake_media(spark, 25, partitions=2)
+    pdf = media.toPandas()
+    jpeg_ids = set(pdf[pdf["format"] == "jpeg"]["media_id"])
+    assert jpeg_ids, "expected a jpeg stratum in gen_fake_media"
+    feats = extract_features(media).toPandas()
+    got = feats[feats["media_id"].isin(jpeg_ids)]
+    assert len(got) == len(jpeg_ids)
+    assert (got["histogram"].apply(sum) == got["n_bytes"]).all()
+    # and through the resize stage (decode jpeg, re-emit netpbm)
+    rs = resize_images(media, 4, 4).toPandas()
+    assert jpeg_ids <= set(rs["media_id"])

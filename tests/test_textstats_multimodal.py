@@ -63,10 +63,10 @@ def test_multimodal_features(spark):
 
 
 def test_decode_gates_compressed_codecs():
+    # mp4 (video bitstream decode) is the one remaining honest gate;
+    # jpeg is now a real codec (tests/test_jpegcodec.py)
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x00\x00\x00\x18ftypmp42", "mp4")
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"\xff\xd8\xff\xe0", "jpeg")
     arr = decode_stub(bytes(range(10)), "fake/raw")
     assert isinstance(arr, np.ndarray) and arr.tolist() == list(range(10))
 
