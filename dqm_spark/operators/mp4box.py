@@ -1,0 +1,366 @@
+"""ISO BMFF (MP4) container layer + Motion-JPEG video frames — pure
+stdlib/numpy, no external libs.
+
+This makes the `mp4` half of the multimodal surface real at the
+CONTAINER level: a full box parser (ISO/IEC 14496-12 size/type walk,
+64-bit largesize, FullBox version/flags), the sample-table resolution
+every real demuxer performs (stsd codec fourcc + dimensions, stsz
+sample sizes, stsc sample→chunk runs, stco/co64 chunk offsets, stts
+durations → absolute byte ranges per sample), deterministic
+evenly-spaced frame sampling, and — because the repo now ships a real
+baseline JPEG codec (jpegcodec.py) — full end-to-end decode for
+Motion-JPEG tracks (`jpeg`/`mjpa`/`mjpb` sample entries). A matching
+`encode_mjpeg_mp4` writer produces spec-shaped files so tests
+round-trip container parsing against streams with known content.
+
+Compressed video bitstreams (`avc1`/`hvc1`/`vp09`/`av01`...) still
+raise NotImplementedError at the per-sample decode step ONLY — the
+container walk, frame selection, and byte ranges are fully computed
+first, which is exactly the split a production deployment needs: plug
+av/ffmpeg into `_decode_sample` and nothing else changes.
+
+Spark stage: `sample_video_frames` (mapInPandas, embarrassingly
+parallel, no shuffle) mirrors `sample_audio_windows` for the video
+modality — n evenly-spaced frames per mp4 row, each summarized to a
+deterministic feature row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+_MJPEG_FOURCC = {"jpeg", "mjpa", "mjpb"}
+
+
+# ---------------------------------------------------------------------------
+# box walk
+# ---------------------------------------------------------------------------
+
+
+def iter_boxes(data: bytes, start: int = 0,
+               end: int | None = None) -> Iterator[tuple[str, int, int]]:
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end) — handles 32-bit sizes, size==1 largesize, and
+    size==0 extends-to-end (14496-12 §4.2)."""
+    end = len(data) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8].decode("latin-1")
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated mp4 largesize box header")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4 box '{btype}' overruns its container")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, path: list[str], start: int = 0,
+          end: int | None = None) -> tuple[int, int] | None:
+    """Payload range of the first box matching a '/'-style path."""
+    for btype, ps, pe in iter_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find(data, path[1:], ps, pe)
+    return None
+
+
+def _find_all(data: bytes, name: str, start: int,
+              end: int) -> list[tuple[int, int]]:
+    return [(ps, pe) for t, ps, pe in iter_boxes(data, start, end)
+            if t == name]
+
+
+# ---------------------------------------------------------------------------
+# sample-table resolution
+# ---------------------------------------------------------------------------
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """First video track's shape: {codec, width, height, n_samples,
+    sample_ranges [(offset, size)...], timescale, durations}.
+
+    The full demuxer walk: moov/trak → hdlr=='vide' → stbl, then
+    stsd (codec + dims), stsz (sizes), stsc (sample→chunk runs),
+    stco/co64 (chunk offsets), stts (durations) → absolute per-sample
+    byte ranges into mdat."""
+    if _find(payload, ["moov"]) is None:
+        raise ValueError("not an mp4 payload (no moov box)")
+    moov = _find(payload, ["moov"])
+    for ps, pe in _find_all(payload, "trak", *moov):
+        mdia = _find(payload, ["mdia"], ps, pe)
+        if mdia is None:
+            continue
+        hdlr = _find(payload, ["hdlr"], *mdia)
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _find(payload, ["minf", "stbl"], *mdia)
+        if stbl is None:
+            continue
+        return _resolve_stbl(payload, *stbl, mdia=mdia)
+    raise ValueError("mp4 has no video track")
+
+
+def _resolve_stbl(data: bytes, ss: int, se: int, mdia) -> dict:
+    stsd = _find(data, ["stsd"], ss, se)
+    if stsd is None:
+        raise ValueError("mp4 stbl missing stsd")
+    p = stsd[0] + 8                       # version/flags + entry_count
+    entry_size = int.from_bytes(data[p:p + 4], "big")
+    codec = data[p + 4:p + 8].decode("latin-1").strip()
+    width = int.from_bytes(data[p + 32:p + 34], "big")
+    height = int.from_bytes(data[p + 34:p + 36], "big")
+    if entry_size < 16:
+        raise ValueError("mp4 stsd sample entry too small")
+
+    stsz = _find(data, ["stsz"], ss, se)
+    if stsz is None:
+        raise ValueError("mp4 stbl missing stsz")
+    p = stsz[0] + 4
+    fixed = int.from_bytes(data[p:p + 4], "big")
+    count = int.from_bytes(data[p + 4:p + 8], "big")
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        raw = np.frombuffer(data[p + 8:p + 8 + 4 * count], dtype=">u4")
+        if raw.size != count:
+            raise ValueError("truncated mp4 stsz table")
+        sizes = [int(x) for x in raw]
+
+    co = _find(data, ["stco"], ss, se)
+    if co is not None:
+        p = co[0] + 4
+        n = int.from_bytes(data[p:p + 4], "big")
+        offs = np.frombuffer(data[p + 4:p + 4 + 4 * n], dtype=">u4")
+    else:
+        co = _find(data, ["co64"], ss, se)
+        if co is None:
+            raise ValueError("mp4 stbl missing stco/co64")
+        p = co[0] + 4
+        n = int.from_bytes(data[p:p + 4], "big")
+        offs = np.frombuffer(data[p + 4:p + 4 + 8 * n], dtype=">u8")
+    if offs.size != n:
+        raise ValueError("truncated mp4 chunk-offset table")
+    chunk_offsets = [int(x) for x in offs]
+
+    stsc = _find(data, ["stsc"], ss, se)
+    if stsc is None:
+        raise ValueError("mp4 stbl missing stsc")
+    p = stsc[0] + 4
+    n = int.from_bytes(data[p:p + 4], "big")
+    runs = []
+    for i in range(n):
+        q = p + 4 + 12 * i
+        runs.append((int.from_bytes(data[q:q + 4], "big"),
+                     int.from_bytes(data[q + 4:q + 8], "big")))
+    # expand sample→chunk runs to per-chunk sample counts
+    per_chunk = []
+    for i, (first, spc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunk_offsets)
+        per_chunk += [spc] * (last - first + 1)
+
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            ranges.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError("mp4 sample tables inconsistent "
+                         f"({si} placed vs {len(sizes)} sized)")
+
+    mdhd = _find(data, ["mdhd"], *mdia)
+    timescale = (int.from_bytes(data[mdhd[0] + 12:mdhd[0] + 16], "big")
+                 if mdhd is not None else 0)
+    durations: list[int] = []
+    stts = _find(data, ["stts"], ss, se)
+    if stts is not None:
+        p = stts[0] + 4
+        n = int.from_bytes(data[p:p + 4], "big")
+        for i in range(n):
+            q = p + 4 + 8 * i
+            cnt = int.from_bytes(data[q:q + 4], "big")
+            delta = int.from_bytes(data[q + 4:q + 8], "big")
+            durations += [delta] * cnt
+    return {"codec": codec, "width": width, "height": height,
+            "n_samples": len(sizes), "sample_ranges": ranges,
+            "timescale": timescale, "durations": durations}
+
+
+def _decode_sample(codec: str, sample: bytes) -> np.ndarray:
+    """One sample -> (h, w, c) uint8. Motion-JPEG decodes for real;
+    compressed bitstream codecs are the production plug-in point."""
+    if codec in _MJPEG_FOURCC:
+        from dqm_spark.operators.jpegcodec import decode_jpeg
+        return decode_jpeg(sample)[0]
+    raise NotImplementedError(
+        f"mp4 video bitstream codec {codec!r} needs an external decoder "
+        "(av/ffmpeg); container parse + byte ranges are already computed")
+
+
+def frame_indices(n_samples: int, n_frames: int) -> list[int]:
+    """Deterministic evenly-spaced sample picks (same rule as
+    sample_audio_windows): floor(i * n / k) for i in 0..k-1, deduped."""
+    if n_samples <= 0:
+        return []
+    k = min(n_frames, n_samples)
+    return sorted({(i * n_samples) // k for i in range(k)})
+
+
+def extract_frames(payload: bytes,
+                   n_frames: int = 4) -> list[tuple[int, np.ndarray]]:
+    """n evenly-spaced decoded frames [(sample_idx, (h,w,c) uint8)...]."""
+    info = probe_mp4(payload)
+    out = []
+    for idx in frame_indices(info["n_samples"], n_frames):
+        off, size = info["sample_ranges"][idx]
+        out.append((idx, _decode_sample(info["codec"],
+                                        payload[off:off + size])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer (Motion-JPEG, one chunk, spec-shaped boxes)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + payload)
+
+
+def encode_mjpeg_mp4(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 85) -> bytes:
+    """uint8 frames (h, w, 1|3) -> minimal valid MJPEG-in-MP4: ftyp +
+    mdat (concatenated baseline JPEGs) + moov with the full stbl the
+    prober resolves. Deterministic (same frames/fps/quality → same
+    bytes)."""
+    from dqm_spark.operators.jpegcodec import encode_jpeg
+    if not frames:
+        raise ValueError("encode_mjpeg_mp4 needs at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    samples = [encode_jpeg(f, quality=quality) for f in frames]
+    sizes = [len(s) for s in samples]
+    n = len(samples)
+    timescale = fps
+    duration = n                                   # 1 tick per frame
+
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big")
+                + b"isom" + b"iso2")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_offset = len(ftyp) + 8                    # into the file
+
+    entry = ((86).to_bytes(4, "big") + b"jpeg" + bytes(6)
+             + (1).to_bytes(2, "big") + bytes(16)
+             + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+             + (0x480000).to_bytes(4, "big") * 2   # 72 dpi h/v
+             + bytes(4) + (1).to_bytes(2, "big") + bytes(32)
+             + (0x18).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+    stsd = _full(b"stsd", (1).to_bytes(4, "big") + entry)
+    stts = _full(b"stts", (1).to_bytes(4, "big")
+                 + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsc = _full(b"stsc", (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                 + n.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+                 + b"".join(s.to_bytes(4, "big") for s in sizes))
+    stco = _full(b"stco", (1).to_bytes(4, "big")
+                 + mdat_offset.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url_ = _box(b"url ", bytes([0, 0, 0, 1]))      # self-contained flag
+    dinf = _box(b"dinf", _full(b"dref", (1).to_bytes(4, "big") + url_))
+    vmhd = _box(b"vmhd", bytes([0, 0, 0, 1]) + bytes(8))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"mjpeg\x00")
+    mdhd = _full(b"mdhd", bytes(8) + timescale.to_bytes(4, "big")
+                 + duration.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big")
+                 + bytes(2))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+                 + duration.to_bytes(4, "big") + bytes(52)
+                 + (w << 16).to_bytes(4, "big")
+                 + (h << 16).to_bytes(4, "big"), version=0)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", bytes(8) + timescale.to_bytes(4, "big")
+                 + duration.to_bytes(4, "big")
+                 + (0x00010000).to_bytes(4, "big")
+                 + (0x0100).to_bytes(2, "big") + bytes(10)
+                 + _identity_matrix() + bytes(24)
+                 + (2).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _identity_matrix() -> bytes:
+    m = [0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000]
+    return b"".join(x.to_bytes(4, "big") for x in m)
+
+
+# ---------------------------------------------------------------------------
+# Spark stage
+# ---------------------------------------------------------------------------
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("codec", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pix_mean", DoubleType()),
+    StructField("pix_std", DoubleType()),
+])
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """n evenly-spaced decoded frames per mp4 row, each summarized to
+    (dims, pixel mean/std) — the video analog of sample_audio_windows.
+    One mapInPandas pass, no shuffle; non-mp4 rows and compressed-codec
+    tracks (NotImplementedError) are dropped, mirroring how the other
+    modality stages select their format subset."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]):
+                if fmt != "mp4":
+                    continue
+                payload = bytes(payload)
+                try:
+                    info = probe_mp4(payload)
+                    for idx, px in extract_frames(payload, n_frames):
+                        out.append((
+                            int(mid), int(idx), info["codec"],
+                            int(px.shape[1]), int(px.shape[0]),
+                            int(px.shape[2]),
+                            float(px.mean()), float(px.std()),
+                        ))
+                except NotImplementedError:
+                    continue
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(frames, VIDEO_FRAME_SCHEMA)

@@ -343,6 +343,12 @@ def decode(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "jpeg":
         from dqm_spark.operators.jpegcodec import decode_jpeg
         return decode_jpeg(payload)[0].ravel()
+    if fmt == "mp4":
+        # container walk + MJPEG tracks decode for real (mp4box.py);
+        # compressed bitstream codecs raise NotImplementedError there
+        from dqm_spark.operators.mp4box import extract_frames
+        frames = extract_frames(bytes(payload), n_frames=4)
+        return np.concatenate([f.ravel() for _, f in frames])
     if fmt == "wav":
         return _decode_wav(payload)[0].view(np.uint8).ravel()
     raise NotImplementedError(
@@ -477,16 +483,23 @@ def gen_fake_media(spark, n: int, partitions: int = 4) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dqm_spark.operators.jpegcodec import encode_jpeg
+        from dqm_spark.operators.mp4box import encode_mjpeg_mp4
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.Generator(np.random.Philox(key=i))
-                which = i % 5
+                which = i % 6
                 if which == 4:       # baseline JPEG (lossy codec path)
                     w, h = 8 + i % 9, 6 + i % 7
                     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                     rows.append((i, "image", "jpeg", encode_jpeg(px, 85)))
+                elif which == 5:     # MJPEG-in-MP4 (container + codec)
+                    w, h = 8 + i % 9, 8 + i % 7
+                    fr = [np.full((h, w, 3), (40 * k + i) % 256, np.uint8)
+                          for k in range(2 + i % 3)]
+                    rows.append((i, "video", "mp4",
+                                 encode_mjpeg_mp4(fr, fps=4)))
                 elif which == 0:     # RGB image
                     w, h = 8 + i % 9, 6 + i % 7
                     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)

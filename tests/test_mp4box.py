@@ -1,0 +1,154 @@
+"""ISO BMFF container + MJPEG video tests (dqm_spark/operators/mp4box.py).
+
+Same posture as test_jpegcodec.py: the writer and prober are kept
+honest by pinning spec primitives directly (box walk incl. largesize
+and size-0, sample-table expansion with multi-chunk stsc runs the
+writer never produces), by corrupting streams, and by exact pixel
+expectations where the MJPEG payload is quantization-lossless."""
+
+import numpy as np
+import pytest
+
+from dqm_spark.operators.mp4box import (
+    encode_mjpeg_mp4, extract_frames, frame_indices, iter_boxes,
+    probe_mp4, sample_video_frames,
+)
+
+
+def _const_frames(vals, h=16, w=24):
+    return [np.full((h, w, 3), v, dtype=np.uint8) for v in vals]
+
+
+def test_round_trip_probe_and_exact_frames():
+    p = encode_mjpeg_mp4(_const_frames([50, 100, 150, 200, 250]), fps=5)
+    info = probe_mp4(p)
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (24, 16)
+    assert info["n_samples"] == 5 and info["timescale"] == 5
+    assert info["durations"] == [1] * 5
+    # constant gray frames survive JPEG quantization exactly
+    for idx, px in extract_frames(p, 5):
+        expect = [50, 100, 150, 200, 250][idx]
+        assert px.shape == (16, 24, 3)
+        assert np.unique(px).tolist() == [expect], idx
+    # deterministic writer
+    assert p == encode_mjpeg_mp4(_const_frames([50, 100, 150, 200, 250]),
+                                 fps=5)
+
+
+def test_frame_indices_evenly_spaced():
+    assert frame_indices(10, 4) == [0, 2, 5, 7]
+    assert frame_indices(2, 4) == [0, 1]       # fewer samples than asked
+    assert frame_indices(4, 4) == [0, 1, 2, 3]
+    assert frame_indices(0, 4) == []
+    assert frame_indices(1000, 2) == [0, 500]
+
+
+def test_box_walk_largesize_and_size_zero():
+    inner = (16).to_bytes(4, "big") + b"abcd" + b"payload!"
+    # size==1 + 64-bit largesize wrapping the same payload
+    large = (1).to_bytes(4, "big") + b"wxyz" + (24).to_bytes(8, "big") \
+        + b"payload!"
+    # size==0 extends to end of container
+    tail = (0).to_bytes(4, "big") + b"tail" + b"rest-of-file"
+    boxes = list(iter_boxes(inner + large + tail))
+    types = [t for t, _, _ in boxes]
+    assert types == ["abcd", "wxyz", "tail"]
+    a, w, t = boxes
+    data = inner + large + tail
+    assert data[a[1]:a[2]] == b"payload!"
+    assert data[w[1]:w[2]] == b"payload!"
+    assert data[t[1]:t[2]] == b"rest-of-file"
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_boxes((999).to_bytes(4, "big") + b"oops"))
+
+
+def test_multi_chunk_stsc_expansion():
+    """Rewrite the writer's one-chunk layout into two chunks with a
+    two-run stsc — a table shape the writer never emits — and check
+    the prober still resolves identical sample byte ranges."""
+    frames = _const_frames([10, 60, 110, 160], h=8, w=8)
+    p = bytearray(encode_mjpeg_mp4(frames))
+    ref = probe_mp4(bytes(p))
+    ranges = ref["sample_ranges"]
+    # chunk 1 = samples 0-1 at old offset, chunk 2 = samples 2-3 at
+    # the address where sample 2 already lives (no mdat move needed)
+    i = bytes(p).find(b"stsc") - 4
+    stsc = bytearray()
+    stsc += (8 + 4 + 4 + 24).to_bytes(4, "big") + b"stsc" + bytes(4)
+    stsc += (2).to_bytes(4, "big")
+    stsc += (1).to_bytes(4, "big") + (2).to_bytes(4, "big") \
+        + (1).to_bytes(4, "big")
+    stsc += (2).to_bytes(4, "big") + (2).to_bytes(4, "big") \
+        + (1).to_bytes(4, "big")
+    old_len = int.from_bytes(p[i:i + 4], "big")
+    assert old_len == 8 + 4 + 4 + 12
+    grown = len(stsc) - old_len
+    new = bytes(p[:i]) + bytes(stsc) + bytes(p[i + old_len:])
+    # grow every ancestor box size (stbl/minf/mdia/trak/moov)
+    new = bytearray(new)
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(new).find(name) - 4
+        sz = int.from_bytes(new[j:j + 4], "big")
+        new[j:j + 4] = (sz + grown).to_bytes(4, "big")
+    # stco gains a second entry pointing at sample 2's absolute offset
+    j = bytes(new).find(b"stco") - 4
+    sz = int.from_bytes(new[j:j + 4], "big")
+    assert sz == 8 + 4 + 4 + 4
+    second = ranges[2][0].to_bytes(4, "big")
+    patched = bytes(new[:j]) \
+        + (sz + 4).to_bytes(4, "big") + b"stco" + bytes(4) \
+        + (2).to_bytes(4, "big") + ranges[0][0].to_bytes(4, "big") + second \
+        + bytes(new[j + sz:])
+    patched = bytearray(patched)
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(patched).find(name) - 4
+        sz = int.from_bytes(patched[j:j + 4], "big")
+        patched[j:j + 4] = (sz + 4).to_bytes(4, "big")
+    got = probe_mp4(bytes(patched))
+    assert got["sample_ranges"] == ranges
+    for idx, px in extract_frames(bytes(patched), 4):
+        assert np.unique(px).tolist() == [[10, 60, 110, 160][idx]]
+
+
+def test_compressed_codec_gated_after_full_parse():
+    p = encode_mjpeg_mp4(_const_frames([7, 77]))
+    avc1 = p.replace((86).to_bytes(4, "big") + b"jpeg",
+                     (86).to_bytes(4, "big") + b"avc1")
+    info = probe_mp4(avc1)                 # container parse succeeds
+    assert info["codec"] == "avc1" and info["n_samples"] == 2
+    assert all(sz > 0 for _, sz in info["sample_ranges"])
+    with pytest.raises(NotImplementedError, match="avc1"):
+        extract_frames(avc1, 2)
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(b"\x00\x00\x00\x10ftypmp42isom")
+    p = bytearray(encode_mjpeg_mp4(_const_frames([1])))
+    i = bytes(p).find(b"stsz")
+    # shrink the declared stsz sample count table -> inconsistent
+    del p[i + 12:i + 16]                   # drop the count field bytes
+    with pytest.raises(ValueError):
+        probe_mp4(bytes(p))
+
+
+def test_spark_sample_video_frames(spark):
+    from dqm_spark.operators.multimodal import decode, gen_fake_media
+    media = gen_fake_media(spark, 36, partitions=3)
+    pdf = media.toPandas()
+    mp4_ids = set(pdf[pdf["format"] == "mp4"]["media_id"])
+    assert mp4_ids, "expected an mp4 stratum in gen_fake_media"
+    out = sample_video_frames(media, n_frames=2).toPandas()
+    assert set(out["media_id"]) == mp4_ids
+    assert (out["codec"] == "jpeg").all()
+    assert (out["channels"] == 3).all()
+    # constant frames: std is exactly 0 and mean matches the plant rule
+    assert (out["pix_std"] == 0.0).all()
+    row = out.sort_values(["media_id", "frame_idx"]).iloc[0]
+    i = int(row["media_id"])
+    assert row["pix_mean"] == float((40 * int(row["frame_idx"]) + i) % 256)
+    # the decode() dispatch returns the sampled frames' flat pixels
+    payload = bytes(pdf[pdf["media_id"] == i]["payload"].iloc[0])
+    flat = decode(payload, "mp4")
+    assert flat.dtype == np.uint8 and flat.size > 0

@@ -63,10 +63,19 @@ def test_multimodal_features(spark):
 
 
 def test_decode_gates_compressed_codecs():
-    # mp4 (video bitstream decode) is the one remaining honest gate;
-    # jpeg is now a real codec (tests/test_jpegcodec.py)
+    # jpeg and the mp4 CONTAINER are now real codecs
+    # (tests/test_jpegcodec.py, tests/test_mp4box.py); the one honest
+    # gate left is compressed video bitstreams inside mp4 — an avc1
+    # track parses fully, then its sample decode raises
+    from dqm_spark.operators.mp4box import encode_mjpeg_mp4
+    good = encode_mjpeg_mp4([np.full((8, 8, 3), 9, np.uint8)])
+    avc1 = good.replace((86).to_bytes(4, "big") + b"jpeg",
+                        (86).to_bytes(4, "big") + b"avc1")
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x00\x00\x00\x18ftypmp42", "mp4")
+        decode_stub(avc1, "mp4")
+    # a bare ftyp with no moov is malformed, not ungated
+    with pytest.raises(ValueError):
+        decode_stub(b"\x00\x00\x00\x10ftypmp42isom", "mp4")
     arr = decode_stub(bytes(range(10)), "fake/raw")
     assert isinstance(arr, np.ndarray) and arr.tolist() == list(range(10))
 
