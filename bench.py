@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     # round 5: the ADC-shortlist + exact-rerank ANN (value-oracled
     # against plain exact SQL; the 2M-vector wall lives in ann_bench.py)
     "ann_pq_refine",
+    # round 5 close: the byte-level media oracle (mp4 demux + JPEG
+    # decode per frame — times the real codec path end to end)
+    "media_video_frames",
 ]
 
 
