@@ -337,9 +337,10 @@ VIDEO_FRAME_SCHEMA = StructType([
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """n evenly-spaced decoded frames per mp4 row, each summarized to
     (dims, pixel mean/std) — the video analog of sample_audio_windows.
-    One mapInPandas pass, no shuffle; non-mp4 rows and compressed-codec
-    tracks (NotImplementedError) are dropped, mirroring how the other
-    modality stages select their format subset."""
+    One mapInPandas pass, no shuffle; non-mp4 rows, compressed-codec
+    tracks (NotImplementedError), and malformed containers (ValueError)
+    are dropped — at web scale one corrupt payload must quarantine,
+    not kill the job (use probe_mp4 directly to inspect a bad file)."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,7 +359,7 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                             int(px.shape[2]),
                             float(px.mean()), float(px.std()),
                         ))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue
             yield pd.DataFrame(
                 out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])

@@ -122,6 +122,20 @@ def test_compressed_codec_gated_after_full_parse():
         extract_frames(avc1, 2)
 
 
+def test_malformed_payload_quarantined_in_spark_stage(spark):
+    """A corrupt mp4 row must be dropped by sample_video_frames, not
+    fail the job — at corpus scale one bad payload cannot kill a run."""
+    import pandas as pd
+    good = encode_mjpeg_mp4(_const_frames([30, 90]))
+    rows = pd.DataFrame(
+        [(1, "video", "mp4", bytearray(good)),
+         (2, "video", "mp4", bytearray(b"\x00\x00\x00\x10ftypmp42isom")),
+         (3, "video", "mp4", bytearray(good[: len(good) // 3]))],
+        columns=["media_id", "kind", "format", "payload"])
+    out = sample_video_frames(spark.createDataFrame(rows), 2).toPandas()
+    assert set(out["media_id"]) == {1}
+
+
 def test_malformed_rejected():
     with pytest.raises(ValueError, match="moov"):
         probe_mp4(b"\x00\x00\x00\x10ftypmp42isom")
