@@ -106,17 +106,19 @@ def _fixed_dht(cls, tid, bits, vals):
     return b"\xFF\xC4" + (2 + len(body)).to_bytes(2, "big") + body
 
 
-def _build_420_gray_jpeg(n_mcux=1, restart_interval=0):
-    """Hand-built 4:2:0 bitstream our encoder never emits: constant
-    Y=200/Cb=Cr=128 image, fixed (non-optimal) Huffman tables, 2x2 Y
-    sampling, optional DRI+RSTn. One MCU is 16x16 pixels."""
-    w, h = 16 * n_mcux, 16
+def _build_420_gray_jpeg(n_mcux=1, restart_interval=0, y_hv=(2, 2)):
+    """Hand-built subsampled bitstream our encoder never emits:
+    constant Y=200/Cb=Cr=128 image, fixed (non-optimal) Huffman
+    tables, y_hv Y sampling (2,2 → 4:2:0 16x16 MCUs; 2,1 → 4:2:2
+    16x8 MCUs), optional DRI+RSTn."""
+    yh, yv = y_hv
+    w, h = 8 * yh * n_mcux, 8 * yv
     out = bytearray(b"\xFF\xD8")
     qt = bytes([0]) + bytes([16] * 64)                     # table 0: all 16s
     out += b"\xFF\xDB" + (2 + len(qt)).to_bytes(2, "big") + qt
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
-        bytes([3]) + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + \
-        bytes([3, 0x11, 0])
+        bytes([3]) + bytes([1, (yh << 4) | yv, 0]) + \
+        bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
     out += b"\xFF\xC0" + (2 + len(sof)).to_bytes(2, "big") + sof
     # DC: symbols {0: '0', 6: '10'}; AC: {EOB: '0'}
     out += _fixed_dht(0, 0, [1, 1] + [0] * 14, [0, 6])
@@ -134,21 +136,30 @@ def _build_420_gray_jpeg(n_mcux=1, restart_interval=0):
         else:
             bw.write(0b0, 1)           # DC symbol 0
         bw.write(0b0, 1)               # EOB
-        for _ in range(3):             # Y2..Y4: diff 0 + EOB
+        for _ in range(yh * yv - 1):   # remaining Y blocks: diff 0 + EOB
             bw.write(0b0, 1)
             bw.write(0b0, 1)
         for _ in range(2):             # Cb, Cr: diff 0 + EOB
             bw.write(0b0, 1)
             bw.write(0b0, 1)
 
-    for m in range(n_mcux):
+    if restart_interval:
+        # byte-aligned per-MCU segments separated by RSTn; each restart
+        # resets the DC prediction, so every MCU codes a "first" DC
+        for m in range(n_mcux):
+            bw = _BitWriter()
+            mcu_bits(bw, first=True)
+            bw.flush()
+            out += bw.buf
+            if m < n_mcux - 1:
+                out += bytes([0xFF, 0xD0 + (m % 8)])
+    else:
+        # one continuous entropy stream (no mid-stream byte alignment)
         bw = _BitWriter()
-        # with restarts every MCU resets DC prediction -> always "first"
-        mcu_bits(bw, first=(m == 0 or restart_interval == 1))
+        for m in range(n_mcux):
+            mcu_bits(bw, first=(m == 0))
         bw.flush()
         out += bw.buf
-        if restart_interval and m < n_mcux - 1:
-            out += bytes([0xFF, 0xD0 + (m % 8)])
     out += b"\xFF\xD9"
     return bytes(out), w, h
 
@@ -158,6 +169,15 @@ def test_decode_handles_420_subsampling_from_foreign_stream():
     px, dw, dh, c = decode_jpeg(payload)
     assert (dw, dh, c) == (w, h, 3)
     # Y=200, Cb=Cr=128 -> neutral gray 200 exactly (DC survives quant)
+    assert np.array_equal(px, np.full((h, w, 3), 200, dtype=np.uint8))
+
+
+def test_decode_handles_422_subsampling():
+    # 4:2:2 (Y 2x1, chroma half-width full-height) — a third sampling
+    # geometry, exercising the asymmetric-replication upsample path
+    payload, w, h = _build_420_gray_jpeg(n_mcux=2, y_hv=(2, 1))
+    px, dw, dh, c = decode_jpeg(payload)
+    assert (dw, dh, c) == (w, h, 3) == (32, 8, 3)
     assert np.array_equal(px, np.full((h, w, 3), 200, dtype=np.uint8))
 
 
