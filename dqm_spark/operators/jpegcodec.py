@@ -245,6 +245,9 @@ class _BitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else None
                 if nxt == 0x00:
                     self.pos += 1       # stuffed byte
+                elif nxt is None:
+                    raise ValueError(
+                        "truncated JPEG entropy data (dangling 0xFF)")
                 else:
                     raise ValueError(
                         f"unexpected marker 0xFF{nxt:02X} in entropy data")
@@ -459,15 +462,30 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+# decoder
+# ---------------------------------------------------------------------------
+
+# Guard against decompression bombs: a few-hundred-byte payload can
+# declare a 65535x65535 frame whose coefficient stores would be tens of
+# GB. Callers decoding trusted large imagery can raise this per call.
+_DEFAULT_MAX_PIXELS = 1 << 26          # 67M px ≈ 0.5 GB/component store
+
+
+def decode_jpeg(payload: bytes,
+                max_pixels: int = _DEFAULT_MAX_PIXELS
+                ) -> tuple[np.ndarray, int, int, int]:
     """baseline JFIF bytes -> (pixels uint8 (h, w, c), w, h, c).
 
     Driven entirely by the file's own DQT/DHT/SOF0/SOS segments —
-    decodes any baseline-sequential Huffman JPEG (4:4:4/4:2:2/4:2:0
-    via integer-factor replication upsampling, optional restart
-    markers). Progressive (SOF2) and arithmetic coding raise
-    ValueError (out of baseline profile, same policy as _decode_png's
-    interlace gate)."""
+    decodes any baseline-sequential Huffman JPEG: interleaved or
+    multi-scan non-interleaved component layout (T.81 A.2), 4:4:4 /
+    4:2:2 / 4:2:0 via integer-factor replication upsampling, optional
+    restart markers, fill bytes before markers (B.1.1.2). Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and frames over
+    `max_pixels` raise ValueError (out of profile / bomb guard) — every
+    malformed-input path raises ValueError, never a bare
+    IndexError/KeyError, so stream-level callers can quarantine on one
+    exception type."""
     data = payload
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -476,18 +494,27 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
-    while pos < len(data):
+    stores: dict[int, np.ndarray] = {}     # comp id -> dequantized coeffs
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1                        # fill bytes (B.1.1.2)
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (dangling 0xFF)")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:                      # EOI
+        if marker == 0xD9:                  # EOI
             break
         if marker in (0x01, *range(0xD0, 0xD8)):
-            continue                            # standalone markers
+            continue                        # standalone markers
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
         seglen = int.from_bytes(data[pos:pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("JPEG segment overruns payload")
         seg = data[pos + 2:pos + seglen]
-        if marker == 0xDB:                      # DQT (1+ tables)
+        if marker == 0xDB:                  # DQT (1+ tables)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
@@ -500,111 +527,187 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int, int]:
                 qt[_ZIGZAG] = zz
                 qtables[tq] = qt.reshape(8, 8)
                 p += 65
-        elif marker == 0xC4:                    # DHT (1+ tables)
+        elif marker == 0xC4:                # DHT (1+ tables)
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 cls, tid = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1:p + 17])
                 nval = sum(bits)
                 vals = list(seg[p + 17:p + 17 + nval])
-                if len(bits) != 16 or len(vals) != nval:
+                if len(vals) != nval:
                     raise ValueError("truncated JPEG DHT segment")
                 htables[(cls, tid)] = _HuffDecoder(bits, vals)
                 p += 17 + nval
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision out of profile")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            if h == 0 or w == 0 or not 1 <= ncomp <= 4:
+                raise ValueError("JPEG frame geometry invalid")
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds max_pixels={max_pixels} "
+                    "(bomb guard; pass a larger max_pixels to decode_jpeg)")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("JPEG sampling factors out of range")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"SOF{marker - 0xC0} (progressive/arithmetic/lossless) "
                 "out of baseline profile")
-        elif marker == 0xDD:                    # DRI
+        elif marker == 0xDD:                # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:                    # SOS -> entropy data
+        elif marker == 0xDA:                # SOS: decode one scan
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i:3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(data, pos + seglen, frame, scan, qtables,
-                                htables, restart_interval)
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(
+                        f"SOS names unknown component id {cs}")
+                scan.append((matches[0], tt >> 4, tt & 0xF))
+            pos = _decode_scan_entropy(
+                data, pos + seglen, frame, scan, qtables, htables,
+                restart_interval, stores)
+            continue                        # marker loop resumes at pos
         pos += seglen
-    raise ValueError("no SOS scan found")
+    if frame is None or not stores:
+        raise ValueError("no SOS scan found")
+    return _reconstruct(frame, stores)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables,
-                 restart_interval) -> tuple[np.ndarray, int, int, int]:
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    ncomp = len(scan)
-    # per-component quantized coefficient stores
-    stores = []
-    for comp, _, _ in scan:
-        bw, bh = mcux * comp["h"], mcuy * comp["v"]
-        stores.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
+def _comp_grid(frame: dict, comp: dict) -> tuple[int, int, int, int]:
+    """(mcux, mcuy, store_blocks_wide, store_blocks_high) — store is
+    padded to full MCUs so interleaved and non-interleaved scans share
+    one layout."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return mcux, mcuy, mcux * comp["h"], mcuy * comp["v"]
+
+
+def _decode_scan_entropy(data, pos, frame, scan, qtables, htables,
+                         restart_interval, stores) -> int:
+    """Entropy-decode one scan into per-component dequantized
+    coefficient stores; returns the byte offset of the next marker.
+    Interleaved scans (ns>1) use MCU geometry; single-component scans
+    use the component's own block raster (T.81 A.2.2: non-interleaved
+    MCU = 1 data unit)."""
+    for comp, td, ta in scan:
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError(
+                f"scan references missing huffman table DC{td}/AC{ta}")
+        if comp["tq"] not in qtables:
+            raise ValueError(
+                f"component {comp['id']} references missing quant "
+                f"table {comp['tq']}")
+        if comp["id"] not in stores:
+            _, _, bw, bh = _comp_grid(frame, comp)
+            stores[comp["id"]] = np.zeros((bh * bw, 8, 8), dtype=np.float64)
     reader = _BitReader(data, pos)
-    preds = [0] * ncomp
-    mcu_seen = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_seen and \
-                    mcu_seen % restart_interval == 0:
-                reader.sync_restart()
-                preds = [0] * ncomp
-            for ci, (comp, td, ta) in enumerate(scan):
-                dc_t = htables[(0, td)]
-                ac_t = htables[(1, ta)]
-                qt = qtables[comp["tq"]].astype(np.float64)
-                bw = mcux * comp["h"]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = dc_t.decode(reader)
-                        preds[ci] += _extend(reader.receive(s), s)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(reader)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if rs == 0xF0:
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = zz
-                        row = my * comp["v"] + by
-                        col = mx * comp["h"] + bx
-                        stores[ci][row * bw + col] = block.reshape(8, 8) * qt
-            mcu_seen += 1
-    # IDCT + place + upsample
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    unit = 0                                # MCUs (or blocks) decoded
+
+    def decode_block(comp, td, ta, store, slot):
+        dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+        qt = qtables[comp["tq"]].astype(np.float64)
+        zz = np.zeros(64, dtype=np.int64)
+        s = dc_t.decode(reader)
+        if s > 15:
+            raise ValueError("DC magnitude category out of range")
+        preds[comp["id"]] += _extend(reader.receive(s), s)
+        zz[0] = preds[comp["id"]]
+        k = 1
+        while k < 64:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                break                       # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index out of range")
+            zz[k] = _extend(reader.receive(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        store[slot] = block.reshape(8, 8) * qt
+
+    def maybe_restart():
+        nonlocal unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart()
+            for cid in preds:
+                preds[cid] = 0
+        unit += 1
+
+    if len(scan) > 1:                       # interleaved (A.2.3)
+        mcux, mcuy, _, _ = _comp_grid(frame, scan[0][0])
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for comp, td, ta in scan:
+                    _, _, bw, _ = _comp_grid(frame, comp)
+                    store = stores[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            row = my * comp["v"] + by
+                            col = mx * comp["h"] + bx
+                            decode_block(comp, td, ta, store, row * bw + col)
+    else:                                   # non-interleaved (A.2.2)
+        comp, td, ta = scan[0]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        comp_w = -(-frame["w"] * comp["h"] // hmax)     # ceil px dims
+        comp_h = -(-frame["h"] * comp["v"] // vmax)
+        cw, ch = -(-comp_w // 8), -(-comp_h // 8)       # ceil block dims
+        _, _, bw, _ = _comp_grid(frame, comp)
+        store = stores[comp["id"]]
+        for row in range(ch):
+            for col in range(cw):
+                maybe_restart()
+                decode_block(comp, td, ta, store, row * bw + col)
+    return reader.pos
+
+
+def _reconstruct(frame, stores) -> tuple[np.ndarray, int, int, int]:
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    missing = [c["id"] for c in comps if c["id"] not in stores]
+    if missing:
+        raise ValueError(f"no scan decoded component id(s) {missing}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for ci, (comp, _, _) in enumerate(scan):
-        bw = mcux * comp["h"]
+    for comp in comps:
+        _, _, bw, _ = _comp_grid(frame, comp)
         # f = C.T @ F @ C, vectorized over blocks
-        spatial = np.einsum("xu,nuv,vy->nxy", _C.T, stores[ci], _C)
+        spatial = np.einsum("xu,nuv,vy->nxy", _C.T, stores[comp["id"]], _C)
         plane = _from_blocks(spatial + 128.0, bw)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if vmax % comp["v"] or hmax % comp["h"]:
@@ -614,11 +717,11 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
         if rx > 1:
             plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:h, :w])
-    if ncomp == 3:
+    if len(comps) == 3:
         rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
         px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return px, w, h, 3
-    if ncomp == 1:
+    if len(comps) == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return px[:, :, None], w, h, 1
-    raise ValueError(f"{ncomp}-component scan out of profile")
+    raise ValueError(f"{len(comps)}-component frame out of profile")

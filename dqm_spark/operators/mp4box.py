@@ -98,9 +98,9 @@ def probe_mp4(payload: bytes) -> dict:
     stsd (codec + dims), stsz (sizes), stsc (sample→chunk runs),
     stco/co64 (chunk offsets), stts (durations) → absolute per-sample
     byte ranges into mdat."""
-    if _find(payload, ["moov"]) is None:
-        raise ValueError("not an mp4 payload (no moov box)")
     moov = _find(payload, ["moov"])
+    if moov is None:
+        raise ValueError("not an mp4 payload (no moov box)")
     for ps, pe in _find_all(payload, "trak", *moov):
         mdia = _find(payload, ["mdia"], ps, pe)
         if mdia is None:
@@ -134,9 +134,14 @@ def _resolve_stbl(data: bytes, ss: int, se: int, mdia) -> dict:
     fixed = int.from_bytes(data[p:p + 4], "big")
     count = int.from_bytes(data[p + 4:p + 8], "big")
     if fixed:
+        # bound BEFORE materializing: declared sample bytes cannot
+        # exceed the file — a crafted count=2^32-1 must not allocate
+        if fixed * count > len(data):
+            raise ValueError("mp4 stsz declares more bytes than the file")
         sizes = [fixed] * count
     else:
-        raw = np.frombuffer(data[p + 8:p + 8 + 4 * count], dtype=">u4")
+        raw = np.frombuffer(data[p + 8:p + 8 + 4 * count], dtype=">u4") \
+            if p + 8 + 4 * count <= stsz[1] else np.empty(0, dtype=">u4")
         if raw.size != count:
             raise ValueError("truncated mp4 stsz table")
         sizes = [int(x) for x in raw]
@@ -162,11 +167,21 @@ def _resolve_stbl(data: bytes, ss: int, se: int, mdia) -> dict:
         raise ValueError("mp4 stbl missing stsc")
     p = stsc[0] + 4
     n = int.from_bytes(data[p:p + 4], "big")
+    if p + 4 + 12 * n > stsc[1]:
+        raise ValueError("truncated mp4 stsc table")
     runs = []
     for i in range(n):
         q = p + 4 + 12 * i
         runs.append((int.from_bytes(data[q:q + 4], "big"),
                      int.from_bytes(data[q + 4:q + 8], "big")))
+    # validate before expanding: first_chunk runs must be 1-based,
+    # strictly ascending, and inside the chunk table; samples-per-chunk
+    # cannot exceed the sample count (bounds the list multiplications)
+    for i, (first, spc) in enumerate(runs):
+        if not 1 <= first <= len(chunk_offsets) or spc > len(sizes):
+            raise ValueError("mp4 stsc run out of range")
+        if i and first <= runs[i - 1][0]:
+            raise ValueError("mp4 stsc runs not ascending")
     # expand sample→chunk runs to per-chunk sample counts
     per_chunk = []
     for i, (first, spc) in enumerate(runs):
@@ -188,17 +203,27 @@ def _resolve_stbl(data: bytes, ss: int, se: int, mdia) -> dict:
                          f"({si} placed vs {len(sizes)} sized)")
 
     mdhd = _find(data, ["mdhd"], *mdia)
-    timescale = (int.from_bytes(data[mdhd[0] + 12:mdhd[0] + 16], "big")
-                 if mdhd is not None else 0)
+    if mdhd is not None:
+        # FullBox: version 1 uses 64-bit create/modify times, shifting
+        # timescale from payload offset +12 to +20
+        toff = 20 if data[mdhd[0]] == 1 else 12
+        timescale = int.from_bytes(data[mdhd[0] + toff:mdhd[0] + toff + 4],
+                                   "big")
+    else:
+        timescale = 0
     durations: list[int] = []
     stts = _find(data, ["stts"], ss, se)
     if stts is not None:
         p = stts[0] + 4
         n = int.from_bytes(data[p:p + 4], "big")
+        if p + 4 + 8 * n > stts[1]:
+            raise ValueError("truncated mp4 stts table")
         for i in range(n):
             q = p + 4 + 8 * i
             cnt = int.from_bytes(data[q:q + 4], "big")
             delta = int.from_bytes(data[q + 4:q + 8], "big")
+            if len(durations) + cnt > len(sizes):
+                raise ValueError("mp4 stts covers more than n_samples")
             durations += [delta] * cnt
     return {"codec": codec, "width": width, "height": height,
             "n_samples": len(sizes), "sample_ranges": ranges,
@@ -225,10 +250,13 @@ def frame_indices(n_samples: int, n_frames: int) -> list[int]:
     return sorted({(i * n_samples) // k for i in range(k)})
 
 
-def extract_frames(payload: bytes,
-                   n_frames: int = 4) -> list[tuple[int, np.ndarray]]:
-    """n evenly-spaced decoded frames [(sample_idx, (h,w,c) uint8)...]."""
-    info = probe_mp4(payload)
+def extract_frames(payload: bytes, n_frames: int = 4,
+                   info: dict | None = None) -> list[tuple[int, np.ndarray]]:
+    """n evenly-spaced decoded frames [(sample_idx, (h,w,c) uint8)...].
+    Pass a prior `probe_mp4` result via `info` to skip re-parsing the
+    container (the Spark stage probes once per row)."""
+    if info is None:
+        info = probe_mp4(payload)
     out = []
     for idx in frame_indices(info["n_samples"], n_frames):
         off, size = info["sample_ranges"][idx]
@@ -337,29 +365,34 @@ VIDEO_FRAME_SCHEMA = StructType([
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """n evenly-spaced decoded frames per mp4 row, each summarized to
     (dims, pixel mean/std) — the video analog of sample_audio_windows.
-    One mapInPandas pass, no shuffle; non-mp4 rows, compressed-codec
-    tracks (NotImplementedError), and malformed containers (ValueError)
-    are dropped — at web scale one corrupt payload must quarantine,
-    not kill the job (use probe_mp4 directly to inspect a bad file)."""
+    One mapInPandas pass, no shuffle; non-mp4 rows, null payloads,
+    compressed-codec tracks (NotImplementedError), and malformed
+    containers/samples are dropped — at web scale one corrupt payload
+    must quarantine, not kill the job. The parsers funnel their own
+    failures into ValueError, and the stage still catches Exception as
+    the last line of defense (a codec bug on one of 10^12 files must
+    degrade coverage, not the run); use probe_mp4/extract_frames
+    directly to get the strict error for a specific file."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, fmt, payload in zip(
                     pdf["media_id"], pdf["format"], pdf["payload"]):
-                if fmt != "mp4":
+                if fmt != "mp4" or payload is None:
                     continue
-                payload = bytes(payload)
                 try:
+                    payload = bytes(payload)
                     info = probe_mp4(payload)
-                    for idx, px in extract_frames(payload, n_frames):
+                    for idx, px in extract_frames(payload, n_frames,
+                                                  info=info):
                         out.append((
                             int(mid), int(idx), info["codec"],
                             int(px.shape[1]), int(px.shape[0]),
                             int(px.shape[2]),
                             float(px.mean()), float(px.std()),
                         ))
-                except (NotImplementedError, ValueError):
+                except Exception:       # noqa: BLE001 — quarantine row
                     continue
             yield pd.DataFrame(
                 out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])

@@ -199,8 +199,105 @@ def test_out_of_profile_and_corrupt_rejected():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError, match="profile"):
         decode_jpeg(bytes(prog))
-    with pytest.raises(ValueError, match="truncated|marker|huffman|SOS"):
+    with pytest.raises(ValueError,
+                       match="truncated|marker|huffman|SOS|overruns"):
         decode_jpeg(bytes(good[:len(good) // 2]))
+
+
+def _fixed_tables_prelude(w, h, comps):
+    """SOI + DQT(all 16s) + SOF0 + the fixed {0:'0',6:'10'}/{EOB:'0'}
+    tables shared by the hand-built-stream tests."""
+    out = bytearray(b"\xFF\xD8")
+    qt = bytes([0]) + bytes([16] * 64)
+    out += b"\xFF\xDB" + (2 + len(qt)).to_bytes(2, "big") + qt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+        bytes([len(comps)])
+    for cid, hv in comps:
+        sof += bytes([cid, hv, 0])
+    out += b"\xFF\xC0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    out += _fixed_dht(0, 0, [1, 1] + [0] * 14, [0, 6])
+    out += _fixed_dht(1, 0, [1] + [0] * 15, [0x00])
+    return out
+
+
+def test_decode_multiscan_noninterleaved_color():
+    """T.81 A.2.2: a baseline file may carry each component in its own
+    single-component scan. Three scans over a constant 8x8 RGB-gray
+    image must reassemble to full color, not silently return luma."""
+    out = _fixed_tables_prelude(8, 8, [(1, 0x11), (2, 0x11), (3, 0x11)])
+    for cid, first in ((1, True), (2, False), (3, False)):
+        sos = bytes([1, cid, 0x00, 0, 63, 0])
+        out += b"\xFF\xDA" + (2 + len(sos)).to_bytes(2, "big") + sos
+        bw = _BitWriter()
+        if first:                     # Y: DC diff 36 (cat 6) then EOB
+            bw.write(0b10, 2)
+            bw.write(36, 6)
+        else:                         # Cb/Cr: DC diff 0 then EOB
+            bw.write(0b0, 1)
+        bw.write(0b0, 1)
+        bw.flush()
+        out += bw.buf
+    out += b"\xFF\xD9"
+    px, w, h, c = decode_jpeg(bytes(out))
+    assert (w, h, c) == (8, 8, 3)
+    assert np.array_equal(px, np.full((8, 8, 3), 200, dtype=np.uint8))
+
+
+def test_decode_single_component_scan_uses_block_raster():
+    """A grayscale frame declaring 2x2 sampling factors (legal; some
+    encoders keep color factors) has ceil(w/8)*ceil(h/8) blocks in its
+    scan — NOT interleaved-MCU geometry (T.81 A.2.2)."""
+    w, h = 24, 8                      # 3x1 blocks; MCU grid would be 4x2
+    out = _fixed_tables_prelude(w, h, [(1, 0x22)])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + (2 + len(sos)).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    bw.write(0b10, 2)                 # block 1: DC diff 36
+    bw.write(36, 6)
+    bw.write(0b0, 1)                  # EOB
+    for _ in range(2):                # blocks 2-3: diff 0 + EOB
+        bw.write(0b0, 1)
+        bw.write(0b0, 1)
+    bw.flush()
+    out += bw.buf + b"\xFF\xD9"
+    px, dw, dh, c = decode_jpeg(bytes(out))
+    assert (dw, dh, c) == (w, h, 1)
+    assert np.array_equal(px[:, :, 0], np.full((h, w), 200, dtype=np.uint8))
+
+
+def test_decode_skips_fill_bytes_before_markers():
+    g = np.full((8, 8), 200, dtype=np.uint8)
+    good = encode_jpeg(g, quality=50)
+    i = good.find(b"\xFF\xDB")
+    padded = good[:i] + b"\xFF\xFF\xFF" + good[i:]   # B.1.1.2 fill bytes
+    px, w, h, c = decode_jpeg(padded)
+    assert np.array_equal(px[:, :, 0], g)
+
+
+def test_malformed_inputs_raise_valueerror_only():
+    from dqm_spark.operators.jpegcodec import _BitReader
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    good = encode_jpeg(g, quality=75)
+    # bomb guard: SOF declaring 65535x65535 from a tiny payload
+    i = good.find(b"\xFF\xC0")
+    bomb = bytearray(good)
+    bomb[i + 5:i + 9] = b"\xFF\xFF\xFF\xFF"
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(bytes(bomb))
+    # entropy data ending on a bare 0xFF -> ValueError, not TypeError
+    r = _BitReader(b"\xFF", 0)
+    with pytest.raises(ValueError, match="dangling"):
+        r.read_bit()
+    # scan referencing a missing huffman table -> ValueError, not KeyError
+    j = good.find(b"\xFF\xDA")
+    nodht = good[:j].replace(b"\xFF\xC4", b"\xFF\xFE") + good[j:]
+    with pytest.raises(ValueError, match="missing huffman|segment"):
+        decode_jpeg(nodht)
+    # SOS naming an unknown component id -> ValueError, not StopIteration
+    badcs = bytearray(good)
+    badcs[j + 5] = 9                  # scan component selector
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(badcs))
 
 
 def test_jpeg_through_decode_dispatch_and_spark_features(spark):

@@ -130,7 +130,8 @@ def test_malformed_payload_quarantined_in_spark_stage(spark):
     rows = pd.DataFrame(
         [(1, "video", "mp4", bytearray(good)),
          (2, "video", "mp4", bytearray(b"\x00\x00\x00\x10ftypmp42isom")),
-         (3, "video", "mp4", bytearray(good[: len(good) // 3]))],
+         (3, "video", "mp4", bytearray(good[: len(good) // 3])),
+         (4, "video", "mp4", None)],
         columns=["media_id", "kind", "format", "payload"])
     out = sample_video_frames(spark.createDataFrame(rows), 2).toPandas()
     assert set(out["media_id"]) == {1}
@@ -145,6 +146,49 @@ def test_malformed_rejected():
     del p[i + 12:i + 16]                   # drop the count field bytes
     with pytest.raises(ValueError):
         probe_mp4(bytes(p))
+
+
+def test_crafted_table_bombs_rejected_without_allocation():
+    """A ~1 KB file declaring 2^32-ish table counts must raise
+    ValueError BEFORE any count-sized allocation (OOM vector)."""
+    good = encode_mjpeg_mp4(_const_frames([5, 55], h=8, w=8))
+    i = good.find(b"stsz") + 4
+    bomb = bytearray(good)
+    bomb[i + 4:i + 8] = (1 << 16).to_bytes(4, "big")       # fixed size
+    bomb[i + 8:i + 12] = (0xFFFFFFFF).to_bytes(4, "big")   # count
+    with pytest.raises(ValueError, match="more bytes than the file"):
+        probe_mp4(bytes(bomb))
+    j = good.find(b"stts") + 4             # payload start (verflags)
+    bomb2 = bytearray(good)
+    bomb2[j + 4:j + 8] = (0xFFFFFFFF).to_bytes(4, "big")   # entry count
+    with pytest.raises(ValueError, match="truncated mp4 stts"):
+        probe_mp4(bytes(bomb2))
+    bomb3 = bytearray(good)
+    bomb3[j + 8:j + 12] = (0x0FFFFFFF).to_bytes(4, "big")  # sample count
+    with pytest.raises(ValueError, match="stts covers more"):
+        probe_mp4(bytes(bomb3))
+
+
+def test_mdhd_version1_timescale():
+    """Version-1 mdhd (64-bit times, common from modern muxers) keeps
+    its timescale at payload offset +20, not +12."""
+    good = encode_mjpeg_mp4(_const_frames([1, 2, 3]), fps=10)
+    i = good.find(b"mdhd") - 4
+    old_size = int.from_bytes(good[i:i + 4], "big")
+    assert old_size == 8 + 4 + 20          # hdr + verflags + v0 fields
+    # v1 payload: ver=1/flags + 8B create + 8B modify + 4B timescale
+    # + 8B duration + lang/pre — 12 bytes larger than v0
+    v1 = (old_size + 12).to_bytes(4, "big") + b"mdhd" \
+        + bytes([1, 0, 0, 0]) + bytes(16) + (10).to_bytes(4, "big") \
+        + (3).to_bytes(8, "big") + (0x55C4).to_bytes(2, "big") + bytes(2)
+    patched = bytearray(good[:i] + v1 + good[i + old_size:])
+    for name in (b"moov", b"trak", b"mdia"):
+        j = bytes(patched).find(name) - 4
+        sz = int.from_bytes(patched[j:j + 4], "big")
+        patched[j:j + 4] = (sz + 12).to_bytes(4, "big")
+    info = probe_mp4(bytes(patched))
+    assert info["timescale"] == 10
+    assert info["n_samples"] == 3
 
 
 def test_spark_sample_video_frames(spark):
