@@ -16,14 +16,18 @@ Encoder (`encode_jpeg`):
   subsampling), no progressive, no arithmetic coding.
 
 Decoder (`decode_jpeg`):
-  full marker parse (APPn/COM skipped, DQT/DHT/DRI/SOF0/SOS honored,
-  SOF2 progressive rejected with ValueError), canonical Huffman
-  rebuild from DHT, byte-unstuffed entropy decode with optional
-  restart markers, dequantize + vectorized IDCT, general h×v chroma
-  sampling factors (4:4:4 / 4:2:2 / 4:2:0 via integer replication
-  upsample), YCbCr→RGB. It decodes files from ANY baseline encoder,
-  not just ours — the table machinery is driven entirely by the
-  bitstream's own DQT/DHT segments.
+  full marker parse (APPn/COM skipped, fill bytes tolerated, DQT/DHT/
+  DRI/SOF0/SOS honored, SOF2 progressive rejected with ValueError),
+  canonical Huffman rebuild from DHT, byte-unstuffed entropy decode
+  with optional restart markers, BOTH scan layouts of T.81 A.2
+  (interleaved MCUs and multi-scan non-interleaved, one component per
+  scan in its own block raster), dequantize + vectorized IDCT, general
+  h×v chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 via integer
+  replication upsample), YCbCr→RGB. It decodes files from ANY baseline
+  encoder, not just ours — the table machinery is driven entirely by
+  the bitstream's own DQT/DHT segments. Malformed input of every kind
+  raises ValueError (callers quarantine on one type), and a
+  `max_pixels` guard rejects decompression bombs before allocating.
 
 The decode side is lossy only through quantization; tests pin
 (a) exactness on constant blocks whose DC survives quantization,
