@@ -123,3 +123,16 @@ def test_code_census_plan_budgets(spark):
     ven = em.q_code_vendored_census(spark, SF)
     assert_plan(ven, max_exchanges=2, max_arrow_evals=0)
     assert "partial_count" in plan_string(ven)
+
+
+def test_media_stages_zero_exchanges(spark):
+    """The whole media path (generate -> features / frames / resize) is
+    row-local mapInPandas: decode cost must stay embarrassingly
+    parallel with no shuffle at any stage."""
+    from dqm_spark.operators.mp4box import sample_video_frames
+    from dqm_spark.operators.multimodal import (
+        extract_features, gen_fake_media, resize_images)
+    media = gen_fake_media(spark, 24, partitions=2)
+    assert_plan(extract_features(media), max_exchanges=0)
+    assert_plan(sample_video_frames(media, 2), max_exchanges=0)
+    assert_plan(resize_images(media, 4, 4), max_exchanges=0)
