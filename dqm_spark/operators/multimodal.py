@@ -11,11 +11,14 @@ five RFC 2083 row filters, CRC-verified chunks), and **baseline JPEG
 encodes AND decodes for real** (jpegcodec.py — vectorized DCT,
 per-image optimal canonical Huffman, 4:2:0-capable decode), each with
 a round-trip partner so tests prove exactness where the format is
-lossless and pin error bounds where it is not. Only mp4 remains
-gated: video bitstream decode (h264 et al.) genuinely needs external
-codec libraries this container does not ship; that format raises
-NotImplementedError at the same dispatch point where production would
-plug av/ffmpeg.
+lossless and pin error bounds where it is not. **mp4 containers parse
+for real too** (mp4box.py — ISO BMFF box walk + sample-table demux),
+and Motion-JPEG tracks decode end-to-end through the JPEG codec; the
+single remaining gate is compressed video bitstreams (h264 et al.),
+which genuinely need external codec libraries this container does not
+ship — they raise NotImplementedError at the per-sample decode step,
+AFTER the container has resolved their byte ranges, which is where
+production plugs av/ffmpeg.
 
 The feature extractor (byte histogram + moments) is the stand-in for a
 real embedding model and is fully vectorized; `resize_images` (exact
